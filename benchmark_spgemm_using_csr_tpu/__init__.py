@@ -1,0 +1,27 @@
+"""benchmark_spgemm_using_csr_tpu — a TPU-native sparse linear-algebra
+framework with the capabilities of the Liu–Vinter bhSPARSE CSR SpGEMM
+benchmark (weifengliu-ssslab/Benchmark_SpGEMM_using_CSR), re-designed from
+scratch for JAX/XLA/Pallas. See SURVEY.md for the blueprint and the
+reference-availability caveats (the mount was empty; behavior is built to
+the published IPDPS14/JPDC15 algorithm spec and BASELINE.json).
+"""
+from .sparse.csr import CSR, COO, BSR, csr_transpose, csr_gather_rows, pad_bucket
+from .api import spgemm, spgemm_flops, nnz_upper_bound
+from .ops.esc import spgemm_esc_padded
+from .ops.binned import spgemm_binned_host
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "CSR",
+    "COO",
+    "BSR",
+    "csr_transpose",
+    "csr_gather_rows",
+    "pad_bucket",
+    "spgemm",
+    "spgemm_flops",
+    "nnz_upper_bound",
+    "spgemm_esc_padded",
+    "spgemm_binned_host",
+]

@@ -1,0 +1,64 @@
+"""Framework facade — the TPU-native equivalent of the reference's
+``bhsparse`` class (SURVEY.md §2/§3: bhsparse.h exposing initPlatform /
+initData / spgemm / get_nnzC / get_C [R]).
+
+Being JAX, the facade is functional: ``spgemm(A, B) -> CSR``. The stateful
+init/get dance of the reference collapses into pytree containers + jit. The
+host wrapper below handles the one genuinely dynamic quantity — output size —
+with the reference's own two-buffer idea recast as power-of-two growth
+buckets so jit recompiles are logarithmic (SURVEY.md §9 hard-part (a)).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .sparse.csr import CSR, pad_bucket
+from .ops import symbolic
+from .ops.esc import spgemm_esc_padded
+
+_symbolic_total = jax.jit(symbolic.total_products)
+_symbolic_rows = jax.jit(symbolic.nnz_upper_bound)
+
+
+def spgemm(
+    a: CSR,
+    b: CSR,
+    *,
+    method: str = "auto",
+    trim: bool = True,
+) -> CSR:
+    """C = A @ B (host-facing; runs the jitted pipeline with bucketed sizes).
+
+    method: 'esc' (global expand-sort-compress), 'binned' (per-bin fast
+    path), or 'auto'.
+    trim: shrink C's padded buffers to pad_bucket(nnzC) on the host.
+    """
+    if a.n != b.m:
+        raise ValueError(f"inner dims mismatch: {a.shape} @ {b.shape}")
+    total = int(_symbolic_total(a, b))
+    prod_capacity = pad_bucket(total)
+    if method in ("auto", "binned"):
+        from .ops.binned import spgemm_binned_host
+
+        c = spgemm_binned_host(a, b, prod_capacity=prod_capacity)
+    elif method == "esc":
+        c = spgemm_esc_padded(a, b, prod_capacity, prod_capacity)
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    if trim:
+        nnz_c = int(np.asarray(c.rowptr)[-1])
+        c = c.with_capacity(pad_bucket(nnz_c))
+    return c
+
+
+def spgemm_flops(a: CSR, b: CSR) -> int:
+    """Canonical flop count 2 * sum_i nnzCt[i] (BASELINE.md definition)."""
+    return 2 * int(_symbolic_total(a, b))
+
+
+def nnz_upper_bound(a: CSR, b: CSR):
+    return _symbolic_rows(a, b)

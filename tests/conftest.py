@@ -1,0 +1,26 @@
+"""Test configuration: run everything on CPU with 8 virtual devices so
+multi-chip sharding (parallel/) is testable without TPU hardware
+(SURVEY.md §6/§9: distributed tests via xla_force_host_platform_device_count).
+
+Must set env BEFORE jax is imported anywhere.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def eight_devices():
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return devs[:8]
