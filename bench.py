@@ -1,0 +1,74 @@
+"""Headline benchmark: C = A @ A GFlops on the synthetic SuiteSparse-regime
+suite, 1 TPU chip. Prints ONE JSON line.
+
+Metric definitions (BASELINE.md): flops = 2 * sum_i nnzCt[i] (stage-1
+intermediate-product count), GFlops = flops / time / 1e9. Timed section is
+the full spgemm (symbolic + binning + numeric + compaction), matching the
+reference driver's semantics (SURVEY.md §4: warmup, then timed runs, mean).
+
+vs_baseline: no numbers could be extracted from the reference (BASELINE.md:
+"published": {}); we normalize against 1.0 GFlops — the order-of-magnitude
+center of the JPDC15 GTX-Titan-era results — so vs_baseline == value.
+"""
+from __future__ import annotations
+
+import json
+import sys
+
+
+def main() -> None:
+    import numpy as np
+
+    from benchmark_spgemm_using_csr_tpu import CSR, spgemm, spgemm_flops
+    from benchmark_spgemm_using_csr_tpu.utils import generators
+    from benchmark_spgemm_using_csr_tpu.utils.timing import bench
+    from benchmark_spgemm_using_csr_tpu.utils.results import write_result
+
+    suite = {
+        "er_medium": generators.SUITE["er_medium"],
+        "powerlaw_medium": generators.SUITE["powerlaw_medium"],
+        "poisson2d_256": generators.SUITE["poisson2d_256"],
+        "banded_16k": generators.SUITE["banded_16k"],
+    }
+
+    per_matrix = {}
+    for name, factory in suite.items():
+        a = CSR.from_scipy(factory())
+        flops = spgemm_flops(a, a)
+        res = bench(
+            lambda a_=a: spgemm(a_, a_, method="binned", trim=False),
+            name=name,
+            warmup=2,
+            runs=5,
+            flops=flops,
+        )
+        c = spgemm(a, a, method="binned", trim=False)
+        nnz_c = int(np.asarray(c.rowptr)[-1])
+        per_matrix[name] = {
+            "gflops": res.gflops,
+            "mean_s": res.mean_s,
+            "nnz_per_s": nnz_c / res.mean_s,
+            "flops": flops,
+            "nnz_c": nnz_c,
+        }
+        write_result(
+            "results.jsonl",
+            {"matrix": name, "config": "C=A*A 1chip binned", **per_matrix[name]},
+        )
+
+    gmean = float(np.exp(np.mean([np.log(v["gflops"]) for v in per_matrix.values()])))
+    print(
+        json.dumps(
+            {
+                "metric": "spgemm_gflops_gmean_1chip",
+                "value": round(gmean, 4),
+                "unit": "GFlops",
+                "vs_baseline": round(gmean / 1.0, 4),
+                "detail": {k: round(v["gflops"], 4) for k, v in per_matrix.items()},
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

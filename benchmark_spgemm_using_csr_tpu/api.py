@@ -28,15 +28,21 @@ def spgemm(
     a: CSR,
     b: CSR,
     *,
-    method: str = "auto",
-    trim: bool = True,
+    method: str | None = None,
+    trim: bool | None = None,
+    config=None,
 ) -> CSR:
     """C = A @ B (host-facing; runs the jitted pipeline with bucketed sizes).
 
     method: 'esc' (global expand-sort-compress), 'binned' (per-bin fast
-    path), or 'auto'.
+    path), or 'auto'. Explicit kwargs override ``config`` (a SpGemmConfig).
     trim: shrink C's padded buffers to pad_bucket(nnzC) on the host.
     """
+    from .config import DEFAULT
+
+    config = config or DEFAULT
+    method = method if method is not None else config.method
+    trim = trim if trim is not None else config.trim
     if a.n != b.m:
         raise ValueError(f"inner dims mismatch: {a.shape} @ {b.shape}")
     total = int(_symbolic_total(a, b))
@@ -44,7 +50,9 @@ def spgemm(
     if method in ("auto", "binned"):
         from .ops.binned import spgemm_binned_host
 
-        c = spgemm_binned_host(a, b, prod_capacity=prod_capacity)
+        c = spgemm_binned_host(
+            a, b, prod_capacity=prod_capacity, widths=config.bin_widths
+        )
     elif method == "esc":
         c = spgemm_esc_padded(a, b, prod_capacity, prod_capacity)
     else:

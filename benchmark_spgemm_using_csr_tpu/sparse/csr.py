@@ -95,12 +95,12 @@ class CSR:
     def to_scipy(self):
         import scipy.sparse as sp
 
-        rowptr = np.asarray(self.rowptr)
+        rowptr = np.array(self.rowptr)  # copies: jax array views are read-only
         nnz = int(rowptr[-1])
         mat = sp.csr_matrix(
             (
-                np.asarray(self.vals)[:nnz],
-                np.asarray(self.colidx)[:nnz],
+                np.array(self.vals[:nnz]),
+                np.array(self.colidx[:nnz]),
                 rowptr,
             ),
             shape=self.shape,

@@ -6,7 +6,7 @@ Must set env BEFORE jax is imported anywhere.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -14,6 +14,10 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+
+# The axon PJRT sitecustomize force-sets jax_platforms="axon,cpu" via
+# jax.config at interpreter start; put it back before backends initialize.
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

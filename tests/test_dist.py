@@ -1,0 +1,59 @@
+import jax
+import numpy as np
+import pytest
+
+from benchmark_spgemm_using_csr_tpu import CSR
+from benchmark_spgemm_using_csr_tpu.parallel.dist import (
+    dist_spgemm,
+    make_mesh,
+    shard_rows,
+    unshard,
+)
+from benchmark_spgemm_using_csr_tpu.utils import generators
+from benchmark_spgemm_using_csr_tpu.utils.oracle import (
+    assert_csr_equal,
+    random_csr,
+    spgemm_reference,
+)
+
+
+def test_shard_unshard_roundtrip(eight_devices):
+    a = random_csr(100, 64, density=0.08, seed=0)  # m not divisible by 8
+    sh = shard_rows(a, 8)
+    back = unshard(sh)
+    want = a.to_scipy()
+    got = back.to_scipy()
+    np.testing.assert_array_equal(got.indptr, want.indptr)
+    np.testing.assert_array_equal(got.indices, want.indices)
+    np.testing.assert_allclose(got.data, want.data)
+
+
+@pytest.mark.parametrize("schedule", ["replicated", "ring"])
+def test_dist_spgemm_square(eight_devices, schedule):
+    mesh = make_mesh(8)
+    a = CSR.from_scipy(generators.erdos_renyi(257, 257, 5.0, seed=3))
+    c = dist_spgemm(a, a, mesh, schedule=schedule)
+    assert_csr_equal(c, spgemm_reference(a, a), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("schedule", ["replicated", "ring"])
+def test_dist_spgemm_rectangular(eight_devices, schedule):
+    mesh = make_mesh(8)
+    a = random_csr(120, 90, density=0.07, seed=4)
+    b = random_csr(90, 150, density=0.07, seed=5)
+    c = dist_spgemm(a, b, mesh, schedule=schedule)
+    assert_csr_equal(c, spgemm_reference(a, b), rtol=1e-4, atol=1e-5)
+
+
+def test_dist_spgemm_powerlaw_ring(eight_devices):
+    mesh = make_mesh(8)
+    a = CSR.from_scipy(generators.power_law(300, 300, alpha=1.8, max_deg=128, seed=6))
+    c = dist_spgemm(a, a, mesh, schedule="ring")
+    assert_csr_equal(c, spgemm_reference(a, a), rtol=1e-4, atol=1e-5)
+
+
+def test_dist_two_devices(eight_devices):
+    mesh = make_mesh(2)
+    a = random_csr(64, 64, density=0.1, seed=7)
+    c = dist_spgemm(a, a, mesh, schedule="ring")
+    assert_csr_equal(c, spgemm_reference(a, a), rtol=1e-4, atol=1e-5)
