@@ -55,6 +55,10 @@ def spgemm(
         )
     elif method == "esc":
         c = spgemm_esc_padded(a, b, prod_capacity, prod_capacity)
+    elif method == "hash":
+        from .ops.hash import spgemm_hash
+
+        c = spgemm_hash(a, b)
     else:
         raise ValueError(f"unknown method {method!r}")
     if trim:

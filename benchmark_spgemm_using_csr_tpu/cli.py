@@ -1,0 +1,197 @@
+"""Benchmark CLI driver — the TPU-native equivalent of the reference's
+``SpGEMM_cuda/main.cpp`` / ``SpGEMM_opencl/main.cpp`` harness (SURVEY.md §3
+component 1, §4 driver contract [R]).
+
+Behavioral contract matched to the reference driver:
+
+- argv: a ``.mtx`` path (symmetric storage expanded, pattern values
+  synthesized) — or, since this environment has no SuiteSparse files, a
+  ``suite:<name>`` synthetic matrix from ``utils.generators.SUITE``.
+- B := A (the benchmark computes C = A @ A).
+- warmup run(s), then N timed runs; mean and best reported.
+- correctness check against the scipy golden (the stand-in for the
+  reference's serial CPU SpGEMM + element-wise compare, SURVEY.md §6).
+- prints m, n, nnzA, intermediate products (nnzCt), nnzC, time, GFlops
+  (= 2*nnzCt/time), nnz/s — the reference's printout set.
+
+Extras beyond the reference (flagged, not default): ``--json`` structured
+output, ``--roofline`` per-stage speed-of-light accounting, ``--out``
+JSONL results appending, ``--mesh N`` distributed run.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="benchmark_spgemm_using_csr_tpu",
+        description="CSR SpGEMM benchmark (C = A @ A) on TPU",
+    )
+    p.add_argument(
+        "matrix",
+        help=".mtx file path, or suite:<name> synthetic "
+        "(see utils.generators.SUITE), or gen:<kind>:<size> "
+        "(kinds: poisson2d, er, powerlaw, banded)",
+    )
+    p.add_argument("--method", default="auto", choices=["auto", "esc", "binned", "hash"])
+    p.add_argument("--runs", type=int, default=5)
+    p.add_argument("--warmup", type=int, default=2)
+    p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--no-verify", action="store_true", help="skip scipy golden check")
+    p.add_argument("--json", action="store_true", help="emit one JSON line instead of text")
+    p.add_argument("--roofline", action="store_true", help="per-stage speed-of-light report")
+    p.add_argument("--out", default=None, help="append a JSONL record to this path")
+    p.add_argument(
+        "--mesh",
+        type=int,
+        default=0,
+        metavar="N",
+        help="run distributed over an N-device mesh (0 = single device)",
+    )
+    p.add_argument(
+        "--schedule",
+        default="replicated",
+        choices=["replicated", "ring", "halo"],
+        help="distributed schedule (with --mesh)",
+    )
+    return p
+
+
+def load_matrix(spec: str, dtype):
+    """Resolve a matrix spec: a .mtx path, suite:<name>, or gen:<kind>:<n>."""
+    from .utils import generators
+    from .utils.mtx import read_mtx
+
+    if spec.startswith("suite:"):
+        name = spec[len("suite:") :]
+        if name not in generators.SUITE:
+            raise SystemExit(
+                f"unknown suite matrix {name!r}; have {sorted(generators.SUITE)}"
+            )
+        return generators.SUITE[name]().astype(dtype)
+    if spec.startswith("gen:"):
+        _, kind, size = spec.split(":", 2)
+        n = int(size)
+        if kind == "poisson2d":
+            return generators.poisson2d(n, dtype=dtype)
+        if kind == "er":
+            return generators.erdos_renyi(n, n, 8.0, dtype=dtype)
+        if kind == "powerlaw":
+            return generators.power_law(n, n, alpha=2.0, max_deg=max(n // 16, 2), dtype=dtype)
+        if kind == "banded":
+            return generators.banded(n, bandwidth=12, dtype=dtype)
+        raise SystemExit(f"unknown generator kind {kind!r}")
+    return read_mtx(spec, dtype=dtype)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    dtype = np.float32 if args.dtype == "float32" else None
+
+    import jax.numpy as jnp
+
+    np_dtype = np.float32 if args.dtype == "float32" else jnp.bfloat16
+
+    from . import CSR, spgemm, spgemm_flops
+    from .utils.timing import bench
+    from .utils.oracle import spgemm_reference, assert_csr_equal
+
+    a_sp = load_matrix(args.matrix, np.float32)
+    a = CSR.from_scipy(a_sp, dtype=np_dtype)
+    m, n = a.shape
+    nnz_a = int(np.asarray(a.rowptr)[-1])
+    flops = spgemm_flops(a, a)
+    nnz_ct = flops // 2
+
+    if args.mesh:
+        import jax
+        from jax.sharding import Mesh
+        from .parallel.dist import dist_spgemm
+
+        devs = jax.devices()
+        if len(devs) < args.mesh:
+            devs = jax.devices("cpu")
+        if len(devs) < args.mesh:
+            raise SystemExit(f"need {args.mesh} devices, have {len(devs)}")
+        mesh = Mesh(np.array(devs[: args.mesh]), ("rows",))
+        run = lambda: dist_spgemm(a, a, mesh, schedule=args.schedule)
+    else:
+        run = lambda: spgemm(a, a, method=args.method, trim=False)
+
+    c = run()
+    nnz_c = int(np.asarray(c.rowptr)[-1])
+    res = bench(run, name=args.matrix, warmup=args.warmup, runs=args.runs,
+                flops=flops, nnz_out=nnz_c)
+
+    verified = None
+    if not args.no_verify:
+        golden = spgemm_reference(a, a)
+        tol = dict(rtol=1e-4, atol=1e-5) if args.dtype == "float32" else dict(
+            rtol=2e-2, atol=1e-2
+        )
+        try:
+            assert_csr_equal(c, golden, **tol)
+            verified = True
+        except AssertionError as e:
+            verified = False
+            print(f"VERIFY FAILED: {e}", file=sys.stderr)
+
+    record = {
+        "matrix": args.matrix,
+        "method": args.method if not args.mesh else f"dist/{args.schedule}x{args.mesh}",
+        "dtype": args.dtype,
+        "m": m,
+        "n": n,
+        "nnz_a": nnz_a,
+        "nnz_ct": int(nnz_ct),
+        "nnz_c": nnz_c,
+        "mean_s": res.mean_s,
+        "min_s": res.min_s,
+        "gflops": res.gflops,
+        "gflops_best": res.gflops_best,
+        "nnz_per_s": res.nnz_per_s,
+        "verified": verified,
+    }
+
+    if args.out:
+        from .utils.results import write_result
+
+        write_result(args.out, record)
+
+    if args.json:
+        print(json.dumps(record))
+    else:
+        print(f"matrix     : {args.matrix}  ({m} x {n}, nnzA = {nnz_a})")
+        print(f"method     : {record['method']}  dtype={args.dtype}")
+        print(f"nnzCt      : {nnz_ct}  (intermediate products; flops = {flops})")
+        print(f"nnzC       : {nnz_c}")
+        print(f"time       : mean {res.mean_s * 1e3:.3f} ms   best {res.min_s * 1e3:.3f} ms  ({args.runs} runs)")
+        print(f"GFlops     : mean {res.gflops:.4f}   best {res.gflops_best:.4f}")
+        print(f"nnz/s      : {res.nnz_per_s:.3e}")
+        if verified is not None:
+            print(f"verify     : {'PASS' if verified else 'FAIL'} (vs scipy golden)")
+
+    if args.roofline:
+        from .utils.roofline import roofline_report, spgemm_stage_models
+
+        models = spgemm_stage_models(
+            nnz_a=nnz_a,
+            nnz_b=nnz_a,
+            m=m,
+            total_products=int(nnz_ct),
+            nnz_c=nnz_c,
+            itemsize=np.dtype(np.float32).itemsize if args.dtype == "float32" else 2,
+        )
+        report = roofline_report(models, total_time_s=res.mean_s)
+        print(json.dumps(report, indent=2, default=float))
+
+    return 0 if verified in (True, None) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -276,6 +276,10 @@ def dist_spgemm(
         hi = int(rowptr_full[(i + 1) * a_sh.m_loc])
         bounds.append(int(nnz_ct[lo:hi].sum()))
     prod_cap = pad_bucket(max(bounds + [1]))
+    if schedule == "halo":
+        from .halo import spgemm_halo
+
+        return spgemm_halo(a, b, mesh, axis)
     if schedule == "replicated":
         c_sh = dist_spgemm_replicated(a_sh, b, mesh, prod_cap, prod_cap, axis)
     elif schedule == "ring":

@@ -1,0 +1,279 @@
+"""Halo-exchange distributed SpGEMM: B row-sharded, remote B rows fetched
+via ``jax.lax.ragged_all_to_all`` (BASELINE.json config #5 and north-star:
+"exchanging remote B rows (the halo of A's column indices) via ragged
+all-to-all collectives"; SURVEY.md §7.8/§9 step 7 phase B).
+
+The reference is single-GPU — this subsystem is new design. Structure:
+
+1. **Host halo plan** (off the hot path, like the reference's host-side
+   stage-2 binning): for each shard j, the sorted unique global B rows its
+   local A columns touch (the *halo*); for each owner/requester pair (i, j)
+   the payload slice owner i must send requester j. All ragged offsets /
+   sizes are host-precomputed into (P, P) tables, and local A's column ids
+   are remapped to halo-local row indices so the device-side compute is a
+   plain local SpGEMM against the assembled halo-B.
+
+2. **Device exchange + compute** under ``shard_map``: gather the send
+   payload rows from local B (one ragged row gather), two
+   ``ragged_all_to_all`` calls (colidx + vals) land every requested row
+   contiguously in global-row order on the requester, then expand–sort–
+   compress the local product stream. XLA overlaps the collective with the
+   local expansion automatically (both depend only on inputs).
+
+Unlike the replicated schedule, per-device B traffic is O(halo nnz), not
+O(nnz B) — the memory- and bandwidth-scalable path for B too large to
+replicate.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..sparse.csr import CSR, INDEX_DTYPE, pad_bucket
+from ..ops.esc import expand_products, sort_compress
+from .dist import ShardedCSR, shard_rows, unshard
+
+
+@dataclasses.dataclass(frozen=True)
+class HaloPlan:
+    """Host-precomputed exchange plan for one (A, B, mesh-size) triple."""
+
+    a_sh: ShardedCSR  # local A with colidx remapped to halo-local B rows
+    send_rows: jax.Array  # (P, send_rows_cap) local B row ids, dest-major, pad k_loc
+    input_offsets: jax.Array  # (P, P) offsets into the send payload per dest
+    send_sizes: jax.Array  # (P, P)
+    output_offsets: jax.Array  # (P, P) where my slice lands on each receiver
+    recv_sizes: jax.Array  # (P, P)
+    recv_offsets: jax.Array  # (P, P) [j, i]: where i's slice lands in j's halo
+    halo_rowptr: jax.Array  # (P, halo_rows_cap + 1) rowptr of assembled halo B
+    send_payload_cap: int
+    halo_nnz_cap: int
+    chunk_cap: int  # max single (i -> j) slice, for the padded-a2a fallback
+    prod_cap: int
+    out_cap: int
+    shape_b: Tuple[int, int]
+
+
+def build_halo_plan(a: CSR, b: CSR, n_shards: int) -> HaloPlan:
+    """Compute the halo plan on the host (plan once, run many)."""
+    m, k = a.shape
+    n = b.n
+    a_rowptr = np.asarray(a.rowptr)
+    a_colidx = np.asarray(a.colidx)
+    b_rowptr = np.asarray(b.rowptr)
+    b_len = np.diff(b_rowptr)
+
+    a_sh = shard_rows(a, n_shards)
+    m_loc = a_sh.m_loc
+    k_pad = ((k + n_shards - 1) // n_shards) * n_shards
+    k_loc = k_pad // n_shards
+
+    # --- per-shard halo: sorted unique B rows touched by local A ----------
+    m_padded = n_shards * m_loc
+    rowptr_full = np.concatenate(
+        [a_rowptr, np.full(m_padded - m, a_rowptr[-1], a_rowptr.dtype)]
+    )
+    halos = []
+    for j in range(n_shards):
+        lo = int(rowptr_full[j * m_loc])
+        hi = int(rowptr_full[(j + 1) * m_loc])
+        halos.append(np.unique(a_colidx[lo:hi]) if hi > lo else np.zeros(0, np.int64))
+
+    halo_nnz = [int(b_len[h].sum()) for h in halos]
+    halo_rows_cap = pad_bucket(max([h.size for h in halos] + [1]))
+    halo_nnz_cap = pad_bucket(max(halo_nnz + [1]))
+
+    # halo rowptr per shard (rows in sorted global order)
+    halo_rowptr = np.zeros((n_shards, halo_rows_cap + 1), np.int32)
+    for j, h in enumerate(halos):
+        lens = np.zeros(halo_rows_cap, np.int32)
+        lens[: h.size] = b_len[h]
+        halo_rowptr[j, 1:] = np.cumsum(lens)
+
+    # --- send lists: owner i -> requester j ---------------------------------
+    # halo of j is sorted by global row id == owner-major; the slice j needs
+    # from owner i is contiguous in both j's halo and i's send buffer.
+    send_rows_l = [[] for _ in range(n_shards)]
+    input_offsets = np.zeros((n_shards, n_shards), np.int32)
+    send_sizes = np.zeros((n_shards, n_shards), np.int32)
+    output_offsets = np.zeros((n_shards, n_shards), np.int32)
+    recv_sizes = np.zeros((n_shards, n_shards), np.int32)
+
+    send_nnz_running = np.zeros(n_shards, np.int64)
+    for j in range(n_shards):
+        h = halos[j]
+        owners = h // k_loc
+        recv_off = 0
+        for i in range(n_shards):
+            rows_ij = h[owners == i]  # global ids owned by i, needed by j
+            sz = int(b_len[rows_ij].sum())
+            input_offsets[i, j] = send_nnz_running[i]
+            send_sizes[i, j] = sz
+            output_offsets[i, j] = recv_off  # where i's slice lands in j
+            recv_sizes[j, i] = sz
+            send_nnz_running[i] += sz
+            recv_off += sz
+            send_rows_l[i].extend((rows_ij - i * k_loc).tolist())
+
+    send_rows_cap = pad_bucket(max([len(s) for s in send_rows_l] + [1]))
+    send_rows = np.full((n_shards, send_rows_cap), k_loc, np.int32)  # pad: sentinel
+    for i, s in enumerate(send_rows_l):
+        send_rows[i, : len(s)] = s
+    send_payload_cap = pad_bucket(int(send_nnz_running.max(initial=1)))
+
+    # --- remap local A colidx -> halo-local row index -----------------------
+    rp = np.asarray(a_sh.rowptr)
+    ci = np.asarray(a_sh.colidx).copy()
+    for j in range(n_shards):
+        nnz_j = int(rp[j, -1])
+        if nnz_j and halos[j].size:
+            ci[j, :nnz_j] = np.searchsorted(halos[j], ci[j, :nnz_j])
+    a_remap = ShardedCSR(
+        a_sh.rowptr, jnp.asarray(ci), a_sh.vals, (m, k)
+    )
+
+    # --- per-shard product bound for static capacities ----------------------
+    bounds = []
+    for j in range(n_shards):
+        lo = int(rowptr_full[j * m_loc])
+        hi = int(rowptr_full[(j + 1) * m_loc])
+        bounds.append(int(b_len[a_colidx[lo:hi]].sum()) if hi > lo else 0)
+    prod_cap = pad_bucket(max(bounds + [1]))
+
+    return HaloPlan(
+        a_sh=a_remap,
+        send_rows=jnp.asarray(send_rows),
+        input_offsets=jnp.asarray(input_offsets),
+        send_sizes=jnp.asarray(send_sizes),
+        output_offsets=jnp.asarray(output_offsets),
+        recv_sizes=jnp.asarray(recv_sizes),
+        recv_offsets=jnp.asarray(output_offsets.T.copy()),
+        halo_rowptr=jnp.asarray(halo_rowptr),
+        send_payload_cap=send_payload_cap,
+        halo_nnz_cap=halo_nnz_cap,
+        chunk_cap=pad_bucket(int(send_sizes.max(initial=1))),
+        prod_cap=prod_cap,
+        out_cap=prod_cap,
+        shape_b=(k, n),
+    )
+
+
+def _padded_a2a_exchange(
+    data, out, in_off, send_sz, recv_off, recv_sz, axis: str, chunk_cap: int
+):
+    """Padded-all-to-all emulation of ragged_all_to_all for backends that
+    lack the ragged HLO (XLA:CPU — SURVEY.md §9 hard-part (d) fallback).
+
+    Each (sender, receiver) slice is padded to the static ``chunk_cap``; the
+    dense (P, chunk_cap) tensor rides one ``all_to_all``, then slices land at
+    their receiver-side offsets via a masked scatter. Extra bytes moved:
+    sum(chunk_cap - size) — the price of raggedness on this backend.
+    """
+    n_shards = in_off.shape[0]
+    lane = jnp.arange(chunk_cap, dtype=INDEX_DTYPE)
+    src = in_off[:, None] + lane[None, :]
+    valid = lane[None, :] < send_sz[:, None]
+    send = jnp.where(
+        valid, data[jnp.clip(src, 0, data.shape[0] - 1)], 0
+    )  # (P, chunk_cap)
+    recv = jax.lax.all_to_all(
+        send, axis, split_axis=0, concat_axis=0, tiled=True
+    )  # (P, chunk_cap): slot i = slice from device i
+    rvalid = lane[None, :] < recv_sz[:, None]
+    tgt = jnp.where(rvalid, recv_off[:, None] + lane[None, :], out.shape[0])
+    return out.at[tgt.reshape(-1)].set(recv.reshape(-1), mode="drop")
+
+
+def dist_spgemm_halo(
+    plan: HaloPlan,
+    b: ShardedCSR,
+    mesh: Mesh,
+    axis: str = "rows",
+    use_ragged: bool | None = None,
+) -> ShardedCSR:
+    """Run the halo-exchange schedule: exchange B rows, local SpGEMM.
+
+    use_ragged: force the native ragged_all_to_all path (TPU) or the padded
+    all_to_all fallback (CPU); default auto-detects from the mesh platform.
+    """
+    m, k = plan.a_sh.shape
+    n = plan.shape_b[1]
+    m_loc = plan.a_sh.m_loc
+    k_loc = b.m_loc
+    halo_rows_cap = plan.halo_rowptr.shape[1] - 1
+    if use_ragged is None:
+        use_ragged = next(iter(mesh.devices.flat)).platform == "tpu"
+
+    def local_fn(
+        a_rp, a_ci, a_va, b_rp, b_ci, b_va,
+        send_rows, in_off, send_sz, out_off, recv_sz, recv_off, halo_rp,
+    ):
+        # 1. gather send payload rows from local B (dest-major concatenation)
+        b_loc = CSR(b_rp[0], b_ci[0], b_va[0], (k_loc, n))
+        from ..sparse.csr import csr_gather_rows
+
+        payload = csr_gather_rows(b_loc, send_rows[0], plan.send_payload_cap)
+
+        # 2. ragged exchange of colidx + vals
+        halo_ci = jnp.zeros(plan.halo_nnz_cap, INDEX_DTYPE)
+        halo_va = jnp.zeros(plan.halo_nnz_cap, a_va.dtype)
+        if use_ragged:
+            halo_ci = jax.lax.ragged_all_to_all(
+                payload.colidx, halo_ci,
+                in_off[0], send_sz[0], out_off[0], recv_sz[0], axis_name=axis,
+            )
+            halo_va = jax.lax.ragged_all_to_all(
+                payload.vals, halo_va,
+                in_off[0], send_sz[0], out_off[0], recv_sz[0], axis_name=axis,
+            )
+        else:
+            halo_ci = _padded_a2a_exchange(
+                payload.colidx, halo_ci, in_off[0], send_sz[0],
+                recv_off[0], recv_sz[0], axis, plan.chunk_cap,
+            )
+            halo_va = _padded_a2a_exchange(
+                payload.vals, halo_va, in_off[0], send_sz[0],
+                recv_off[0], recv_sz[0], axis, plan.chunk_cap,
+            )
+
+        # 3. local SpGEMM against the assembled halo-B
+        a_loc = CSR(a_rp[0], a_ci[0], a_va[0], (m_loc, halo_rows_cap))
+        b_halo = CSR(halo_rp[0], halo_ci, halo_va, (halo_rows_cap, n))
+        row, col, val = expand_products(a_loc, b_halo, plan.prod_cap)
+        rowptr, out_col, out_val = sort_compress(
+            row, col, val, m_loc, plan.out_cap, a_va.dtype
+        )
+        return rowptr[None], out_col[None], out_val[None]
+
+    fn = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            P(axis), P(axis), P(axis),  # A
+            P(axis), P(axis), P(axis),  # B
+            P(axis), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
+        ),
+        out_specs=(P(axis), P(axis), P(axis)),
+    )
+    rowptr, colidx, vals = fn(
+        plan.a_sh.rowptr, plan.a_sh.colidx, plan.a_sh.vals,
+        b.rowptr, b.colidx, b.vals,
+        plan.send_rows, plan.input_offsets, plan.send_sizes,
+        plan.output_offsets, plan.recv_sizes, plan.recv_offsets,
+        plan.halo_rowptr,
+    )
+    return ShardedCSR(rowptr, colidx, vals, (m, n))
+
+
+def spgemm_halo(a: CSR, b: CSR, mesh: Mesh, axis: str = "rows") -> CSR:
+    """Host-facing halo-schedule C = A @ B: plan, shard B, run, unshard."""
+    n_shards = mesh.shape[axis]
+    plan = build_halo_plan(a, b, n_shards)
+    b_sh = shard_rows(b, n_shards)
+    c_sh = dist_spgemm_halo(plan, b_sh, mesh, axis)
+    return unshard(c_sh)

@@ -1,0 +1,54 @@
+"""Hash-path (dense-accumulator) numeric kernel tests — BASELINE.json config
+#4's long-row / power-law regime, checked against the scipy golden."""
+import numpy as np
+import pytest
+
+from benchmark_spgemm_using_csr_tpu import CSR, spgemm
+from benchmark_spgemm_using_csr_tpu.ops.hash import spgemm_hash
+from benchmark_spgemm_using_csr_tpu.utils import generators
+from benchmark_spgemm_using_csr_tpu.utils.oracle import (
+    assert_csr_equal,
+    random_csr,
+    spgemm_reference,
+)
+
+MATRICES = {
+    "powerlaw": lambda: generators.power_law(400, 400, alpha=1.9, max_deg=200, seed=8),
+    "er": lambda: generators.erdos_renyi(300, 300, 6.0, seed=7),
+    "poisson2d": lambda: generators.poisson2d(24),
+}
+
+
+@pytest.mark.parametrize("name", list(MATRICES))
+def test_hash_square_vs_scipy(name):
+    a = CSR.from_scipy(MATRICES[name]())
+    c = spgemm_hash(a, a)
+    assert_csr_equal(c, spgemm_reference(a, a), rtol=1e-4, atol=1e-5)
+
+
+def test_hash_rectangular():
+    a = random_csr(120, 64, density=0.08, seed=3)
+    b = random_csr(64, 200, density=0.12, seed=4)
+    c = spgemm_hash(a, b)
+    assert_csr_equal(c, spgemm_reference(a, b), rtol=1e-4, atol=1e-5)
+
+
+def test_hash_small_tiles_multi_pass():
+    # force many tiles so the host tile loop is exercised
+    a = CSR.from_scipy(generators.power_law(256, 256, alpha=1.8, max_deg=128, seed=5))
+    c = spgemm_hash(a, a, tile_bytes_budget=64 * 1024)
+    assert_csr_equal(c, spgemm_reference(a, a), rtol=1e-4, atol=1e-5)
+
+
+def test_hash_empty_rows_and_zero_matrix():
+    import scipy.sparse as sp
+
+    a = CSR.from_scipy(sp.csr_matrix((32, 32), dtype=np.float32))
+    c = spgemm_hash(a, a)
+    assert int(np.asarray(c.rowptr)[-1]) == 0
+
+
+def test_api_method_hash():
+    a = CSR.from_scipy(MATRICES["powerlaw"]())
+    c = spgemm(a, a, method="hash")
+    assert_csr_equal(c, spgemm_reference(a, a), rtol=1e-4, atol=1e-5)
