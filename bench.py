@@ -2,9 +2,13 @@
 suite, 1 TPU chip. Prints ONE JSON line.
 
 Metric definitions (BASELINE.md): flops = 2 * sum_i nnzCt[i] (stage-1
-intermediate-product count), GFlops = flops / time / 1e9. Timed section is
-the full spgemm (symbolic + binning + numeric + compaction), matching the
-reference driver's semantics (SURVEY.md §4: warmup, then timed runs, mean).
+intermediate-product count), GFlops = flops / time / 1e9. The timed call is
+the full 4-stage pipeline (symbolic + on-device binning/chunk-mapping +
+numeric + compaction) in one jitted dispatch — matching the reference
+driver's semantics (SURVEY.md §4: warmup, then timed runs, mean). The
+shape plan (static buffer capacities) is built once per matrix profile
+outside the loop, the analogue of the reference's compile-time common.h
+bin constants + initData allocation, which its timed loop also excludes.
 
 vs_baseline: no numbers could be extracted from the reference (BASELINE.md:
 "published": {}); we normalize against 1.0 GFlops — the order-of-magnitude
@@ -19,7 +23,12 @@ import sys
 def main() -> None:
     import numpy as np
 
-    from benchmark_spgemm_using_csr_tpu import CSR, spgemm, spgemm_flops
+    from benchmark_spgemm_using_csr_tpu import (
+        CSR,
+        make_chunked_plan,
+        spgemm_chunked,
+        spgemm_flops,
+    )
     from benchmark_spgemm_using_csr_tpu.utils import generators
     from benchmark_spgemm_using_csr_tpu.utils.timing import bench
     from benchmark_spgemm_using_csr_tpu.utils.results import write_result
@@ -35,14 +44,15 @@ def main() -> None:
     for name, factory in suite.items():
         a = CSR.from_scipy(factory())
         flops = spgemm_flops(a, a)
+        plan = make_chunked_plan(a, a)
         res = bench(
-            lambda a_=a: spgemm(a_, a_, method="binned", trim=False),
+            lambda a_=a, p_=plan: spgemm_chunked(a_, a_, p_),
             name=name,
             warmup=2,
             runs=5,
             flops=flops,
         )
-        c = spgemm(a, a, method="binned", trim=False)
+        c = spgemm_chunked(a, a, plan)
         nnz_c = int(np.asarray(c.rowptr)[-1])
         per_matrix[name] = {
             "gflops": res.gflops,

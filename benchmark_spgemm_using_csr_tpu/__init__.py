@@ -9,6 +9,9 @@ from .sparse.csr import CSR, COO, BSR, csr_transpose, csr_gather_rows, pad_bucke
 from .api import spgemm, spgemm_flops, nnz_upper_bound
 from .ops.esc import spgemm_esc_padded
 from .ops.binned import spgemm_binned_host
+from .ops.chunked import make_chunked_plan, spgemm_chunked
+from .ops.fused import make_plan as make_fused_plan, spgemm_fused
+from .ops.hash import spgemm_hash
 
 __version__ = "0.1.0"
 
@@ -24,4 +27,9 @@ __all__ = [
     "nnz_upper_bound",
     "spgemm_esc_padded",
     "spgemm_binned_host",
+    "make_chunked_plan",
+    "spgemm_chunked",
+    "make_fused_plan",
+    "spgemm_fused",
+    "spgemm_hash",
 ]

@@ -47,7 +47,15 @@ def spgemm(
         raise ValueError(f"inner dims mismatch: {a.shape} @ {b.shape}")
     total = int(_symbolic_total(a, b))
     prod_capacity = pad_bucket(total)
-    if method in ("auto", "binned"):
+    if method in ("auto", "chunked"):
+        from .ops.chunked import make_chunked_plan, spgemm_chunked
+
+        c = spgemm_chunked(a, b, make_chunked_plan(a, b))
+    elif method == "fused":
+        from .ops.fused import make_plan as _make_fused_plan, spgemm_fused
+
+        c = spgemm_fused(a, b, _make_fused_plan(a, b, widths=config.bin_widths))
+    elif method == "binned":
         from .ops.binned import spgemm_binned_host
 
         c = spgemm_binned_host(

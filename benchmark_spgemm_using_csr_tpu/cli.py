@@ -38,7 +38,11 @@ def build_parser() -> argparse.ArgumentParser:
         "(see utils.generators.SUITE), or gen:<kind>:<size> "
         "(kinds: poisson2d, er, powerlaw, banded)",
     )
-    p.add_argument("--method", default="auto", choices=["auto", "esc", "binned", "hash"])
+    p.add_argument(
+        "--method",
+        default="auto",
+        choices=["auto", "chunked", "fused", "esc", "binned", "hash"],
+    )
     p.add_argument("--runs", type=int, default=5)
     p.add_argument("--warmup", type=int, default=2)
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])

@@ -1,0 +1,245 @@
+"""Chunked-ESC SpGEMM — the measured-fastest numeric core on this TPU.
+
+Design driven by microbenchmarks (scripts/micro_bench2.py, TPU v5e via axon):
+
+- every *dispatch* costs ~26 ms round-trip → the whole pipeline must be ONE
+  jitted program (plan/capacities static, like ops/fused.py);
+- XLA random gathers run at ~85 M elem/s, but a gather of K-contiguous
+  slices moves K elements per descriptor (128-byte HBM loads) — so the
+  product expansion must be *slice-shaped*, not element-shaped;
+- multi-operand 1D sorts are comparatively cheap (~3 ns/elem) and
+  log-shift segmented scans are nearly free → sort-based merge/compaction
+  beats scatter-based everywhere.
+
+Pipeline (all static shapes, one dispatch):
+
+1. **Chunk split.** Each A entry (i, j, a_v) contributes len(B_j) products.
+   Split that segment into ceil(len/K) chunks of K: the chunk stream is the
+   ragged dimension, built with one small scatter + cumsum (never
+   searchsorted — measured 80x slower). Per-chunk metadata (a_val, row,
+   B-start, remaining-len) is fetched with ONE 4-field packed gather.
+2. **Slice-gather expansion.** Chunk c reads B's packed (colidx, val) pairs
+   at [start_c, start_c + K) via a vmapped dynamic_slice — an XLA gather
+   with slice_sizes=(K, 2). Products = (chunks, K) tile; invalid lanes get
+   sentinel row m.
+3. **Sort** the flat (row, col, val) product stream by (row, col) — one
+   3-operand 2-key bitonic sort.
+4. **Segmented run-sum** of duplicate (row, col) runs via log2(cap)
+   shift-add passes (Hillis–Steele); run tails hold exact sums.
+5. **Sort-based compaction**: second sort moves run tails (keyed by their
+   unique index) to the front; slice [0:out_cap] is C's value/col stream.
+   rowptr comes from a searchsorted of the compacted row stream (binary
+   search over m+1 needles — tiny).
+
+This is the TPU answer to the reference's heap/ESC/merge trio: one
+shape-generic path whose cost is ~2 slice-gathers + 2 sorts over the padded
+product stream, with *no* per-row method dispatch at all. Binning survives
+only in the plan: K is chosen from the matrix's B-row-length profile.
+
+Reference parity: stages 1-4 of SURVEY.md §4; 'Ct buffer' == the padded
+product stream; 'progressive allocation' == pad_bucket growth buckets.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..sparse.csr import CSR, INDEX_DTYPE, pad_bucket
+from .symbolic import nnz_upper_bound
+
+F32 = jnp.float32
+
+
+@dataclasses.dataclass(frozen=True)
+class ChunkedPlan:
+    """Static capacities for one matrix profile (one host sync to build)."""
+
+    k: int  # chunk width (products per slice-gather)
+    chunks_cap: int  # padded number of chunks
+    out_cap: int  # padded nnzC bound
+    max_run: int = 0  # padded max duplicates per (row, col); 0 = unbounded
+
+    @property
+    def prod_cap(self) -> int:
+        return self.chunks_cap * self.k
+
+
+def pad_gentle(n: int, minimum: int = 8) -> int:
+    """Round up to the next m * 2^e with m in [8, 15] — ~6% worst-case waste
+    (vs 2x for pow2 buckets) while keeping compile-reuse buckets logarithmic."""
+    n = max(int(n), minimum)
+    e = max(n.bit_length() - 4, 0)
+    return -(-n >> e) << e
+
+
+def make_chunked_plan(a: CSR, b: CSR, k: int | None = None) -> ChunkedPlan:
+    nnz_ct = np.asarray(jax.jit(nnz_upper_bound)(a, b))
+    b_len = np.diff(np.asarray(b.rowptr))
+    nnz_a = int(np.asarray(a.rowptr)[-1])
+    total = int(nnz_ct.sum())
+    if k is None:
+        # k near the mean B-row length minimizes chunk-lane padding
+        # (k need not be a power of two — the gather is advanced-indexing)
+        k = int(np.clip(round(total / max(nnz_a, 1)), 4, 256))
+    k = min(k, b.capacity)
+    # chunks: per A entry ceil(len(B_col)/K); bound via per-row sums
+    lens = b_len[np.asarray(a.colidx)[:nnz_a]]
+    chunks = int(np.ceil(lens / k).sum()) if nnz_a else 0
+    # duplicates of one (row, col) are bounded by that A-row's nnz
+    a_len_max = int(np.diff(np.asarray(a.rowptr)).max(initial=1))
+    return ChunkedPlan(
+        k=k,
+        chunks_cap=pad_gentle(max(chunks, 1)),
+        out_cap=pad_gentle(max(min(total, int(np.minimum(nnz_ct, b.n).sum())), 1)),
+        max_run=pad_bucket(a_len_max),
+    )
+
+
+def _expand_chunks(a: CSR, b: CSR, k: int, chunks_cap: int):
+    """Stages 1-2: chunk metadata + slice-gather product expansion.
+
+    Returns flat (row, col, val) of shape (chunks_cap * k,); invalid slots
+    carry row == m.
+    """
+    m = a.m
+    b_len = b.row_lengths().astype(INDEX_DTYPE)
+    a_rows = a.row_ids()
+    entry_valid = a_rows < m
+    per_nz = jnp.where(entry_valid, b_len[a.colidx], 0).astype(INDEX_DTYPE)
+    n_chunks_per = (per_nz + (k - 1)) // k
+
+    # ragged chunk -> entry map: scatter 1s at chunk starts, cumsum
+    ends = jnp.cumsum(n_chunks_per)
+    starts = ends - n_chunks_per
+    total_chunks = ends[-1] if a.capacity else jnp.zeros((), INDEX_DTYPE)
+    # unconditional stacked +1 per entry (zero-chunk entries — empty B rows —
+    # stack at the same start; cumsum then skips their ids exactly, the same
+    # trick as csr.row_ids_from_rowptr)
+    hits = jnp.zeros(chunks_cap, INDEX_DTYPE).at[starts].add(1, mode="drop")
+    src = jnp.cumsum(hits) - 1  # A-entry id per chunk (garbage past total)
+    src = jnp.clip(src, 0, a.capacity - 1)
+    c_ids = jnp.arange(chunks_cap, dtype=INDEX_DTYPE)
+    chunk_valid = c_ids < total_chunks
+    chunk_idx = c_ids - starts[src]
+
+    # one packed 4-field gather of per-entry metadata. Packed as int32, NOT
+    # f32: small ints bitcast to f32 are denormals and TPU flushes denormals
+    # to zero — float values survive an int32 bitcast unchanged instead.
+    meta = jnp.stack(
+        [
+            jax.lax.bitcast_convert_type(a.vals.astype(F32), jnp.int32),
+            a_rows.astype(jnp.int32),
+            b.rowptr[a.colidx].astype(jnp.int32),
+            per_nz.astype(jnp.int32),
+        ],
+        axis=1,
+    )  # (capacityA, 4) int32
+    meta_c = meta[src]  # (chunks_cap, 4)
+    a_val = jax.lax.bitcast_convert_type(meta_c[:, 0], F32)
+    row = meta_c[:, 1]
+    b_start = meta_c[:, 2]
+    seg_len = meta_c[:, 3]
+
+    pos = b_start + chunk_idx * k
+    rem = seg_len - chunk_idx * k  # valid lanes in this chunk
+
+    # slice-gather of B's packed (col, val) pairs: K contiguous per chunk.
+    # int32-packed for the same denormal-flush reason as meta above.
+    b_packed = jnp.stack(
+        [
+            b.colidx.astype(jnp.int32),
+            jax.lax.bitcast_convert_type(b.vals.astype(F32), jnp.int32),
+        ],
+        axis=1,
+    )  # (capacityB, 2) int32
+    # advanced-index gather beats vmap(dynamic_slice) 10x on this TPU
+    # (scripts/micro_gather.py): one packed gather of (chunks, k, 2)
+    lane = jnp.arange(k, dtype=INDEX_DTYPE)
+    pos_c = jnp.clip(pos, 0, max(b.capacity - k, 0))
+    tile = b_packed[pos_c[:, None] + lane[None, :], :]  # (chunks_cap, k, 2)
+    lane_valid = chunk_valid[:, None] & (lane[None, :] < rem[:, None])
+    col = tile[:, :, 0]
+    val = jax.lax.bitcast_convert_type(tile[:, :, 1], F32) * a_val[:, None]
+    row_t = jnp.where(lane_valid, row[:, None], m)
+    col_t = jnp.where(lane_valid, col, 0)
+    val_t = jnp.where(lane_valid, val, 0.0)
+    return (
+        row_t.reshape(-1).astype(INDEX_DTYPE),
+        col_t.reshape(-1).astype(INDEX_DTYPE),
+        val_t.reshape(-1),
+    )
+
+
+def _segmented_runsum(row, col, val, max_run: int = 0):
+    """Sum duplicate (row, col) runs in a sorted stream; tails hold totals.
+
+    max_run: static bound on run length (max nnz of any A row) — caps the
+    number of log-shift passes at log2(max_run) instead of log2(capacity).
+    """
+    cap = row.shape[0]
+    bound = min(max_run, cap) if max_run else cap
+    run = val
+    k = 1
+    while k < bound:
+        same = jnp.concatenate(
+            [
+                jnp.zeros(k, jnp.bool_),
+                (row[k:] == row[:-k]) & (col[k:] == col[:-k]),
+            ]
+        )
+        shifted = jnp.concatenate([jnp.zeros(k, val.dtype), run[:-k]])
+        run = run + jnp.where(same, shifted, 0)
+        k *= 2
+    return run
+
+
+def merge_products(row, col, val, m: int, n: int, out_cap: int,
+                   max_run: int = 0, val_dtype=None) -> CSR:
+    """Stages 3-4 on a flat product stream (row==m marks invalid slots):
+    sort by (row, col) → segmented run-sum → sort-based compaction →
+    searchsorted rowptr. Shared by single-chip and distributed paths."""
+    val_dtype = val_dtype or val.dtype
+    cap = row.shape[0]
+
+    # stage 3: sort products by (row, col); sentinel rows (m) sink to tail
+    row, col, val = jax.lax.sort((row, col, val), num_keys=2)
+
+    # stage 3b: merge duplicates — tails of equal-(row,col) runs hold sums
+    run_val = _segmented_runsum(row, col, val, max_run)
+    valid = row < m
+    next_row = jnp.concatenate([row[1:], jnp.full((1,), -1, row.dtype)])
+    next_col = jnp.concatenate([col[1:], jnp.full((1,), -1, col.dtype)])
+    is_tail = valid & ((row != next_row) | (col != next_col))
+
+    # stage 4: sort-based compaction — tails first, in (row, col) order
+    uniq_pos = jnp.cumsum(is_tail.astype(INDEX_DTYPE)) - 1
+    key = jnp.where(is_tail, uniq_pos, cap).astype(INDEX_DTYPE)
+    _, row_c, col_c, val_c = jax.lax.sort(
+        (key, row, col, run_val), num_keys=1
+    )
+    out_col = col_c[:out_cap].astype(INDEX_DTYPE)
+    out_val = val_c[:out_cap].astype(val_dtype)
+    n_uniq = jnp.sum(is_tail.astype(INDEX_DTYPE))
+
+    # rowptr via binary search over the compacted row stream
+    row_c = jnp.where(jnp.arange(cap, dtype=INDEX_DTYPE) < n_uniq, row_c, m)
+    needles = jnp.arange(m + 1, dtype=INDEX_DTYPE)
+    rowptr = jnp.searchsorted(row_c[:out_cap], needles, side="left").astype(
+        INDEX_DTYPE
+    )
+    rowptr = jnp.minimum(rowptr, n_uniq)
+    return CSR(rowptr=rowptr, colidx=out_col, vals=out_val, shape=(m, n))
+
+
+@partial(jax.jit, static_argnames=("plan",))
+def spgemm_chunked(a: CSR, b: CSR, plan: ChunkedPlan) -> CSR:
+    """C = A @ B, one dispatch, sort-based merge (see module docstring)."""
+    m, n = a.m, b.n
+    row, col, val = _expand_chunks(a, b, plan.k, plan.chunks_cap)
+    return merge_products(
+        row, col, val, m, n, plan.out_cap, plan.max_run, a.vals.dtype
+    )

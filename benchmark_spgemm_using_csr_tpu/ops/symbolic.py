@@ -42,3 +42,26 @@ def total_products(a: CSR, b: CSR) -> jax.Array:
 def flops(a: CSR, b: CSR) -> jax.Array:
     """Canonical SpGEMM flop count: one mul + one add per product."""
     return 2 * total_products(a, b).astype(jnp.int64 if jax.config.jax_enable_x64 else jnp.int32)
+
+
+def nnz_exact(a: CSR, b: CSR, prod_capacity: int) -> jax.Array:
+    """Exact per-row nnz(C) — the symbolic-exact variant (SURVEY.md §9
+    step 3): materialize (row, col) product keys (values untouched), sort,
+    and count unique keys per row. Costs one 2-key sort of the product
+    stream; use when the stage-1 upper bound over-allocates badly (highly
+    overlapping rows)."""
+    from .esc import gather_products
+
+    m = a.m
+    total = total_products(a, b)
+    p = jnp.arange(prod_capacity, dtype=INDEX_DTYPE)
+    valid = p < total
+    src_c, col, _ = gather_products(a, b, jnp.where(valid, p, 0), valid)
+    row = jnp.where(valid, a.row_ids()[src_c], m).astype(INDEX_DTYPE)
+    row, col = jax.lax.sort((row, col), num_keys=2)
+    prev_row = jnp.concatenate([jnp.full((1,), -1, row.dtype), row[:-1]])
+    prev_col = jnp.concatenate([jnp.full((1,), -1, col.dtype), col[:-1]])
+    is_head = (row < m) & ((row != prev_row) | (col != prev_col))
+    return jax.ops.segment_sum(
+        is_head.astype(INDEX_DTYPE), row, num_segments=m + 1
+    )[:m]

@@ -30,7 +30,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..sparse.csr import CSR, INDEX_DTYPE, pad_bucket, row_ids_from_rowptr
-from ..ops.esc import expand_products, sort_compress
+from ..ops.chunked import _expand_chunks, merge_products, pad_gentle
 from ..ops.symbolic import products_per_nz
 
 
@@ -120,23 +120,25 @@ def dist_spgemm_replicated(
     prod_cap: int,
     out_cap: int,
     axis: str = "rows",
+    chunk_k: int = 8,
 ) -> ShardedCSR:
     """C = A @ B with A,C row-sharded over ``mesh[axis]`` and B replicated.
 
     prod_cap/out_cap are per-shard static capacities (use the max over
-    shards of the stage-1 bound)."""
+    shards of the stage-1 bound); local compute is the chunked-ESC core."""
     m, k = a.shape
     n = b.n
     m_loc = a.m_loc
+    # chunks <= products/k + one partial chunk per stored A entry
+    chunks_cap = pad_gentle(prod_cap // chunk_k + a.cap + 1)
 
     def local_fn(a_rp, a_ci, a_va, b_rp, b_ci, b_va):
         a_loc = CSR(a_rp[0], a_ci[0], a_va[0], (m_loc, k))
         b_full = CSR(b_rp, b_ci, b_va, (k, n))
-        row, col, val = expand_products(a_loc, b_full, prod_cap)
-        rowptr, out_col, out_val = sort_compress(
-            row, col, val, m_loc, out_cap, a_va.dtype
-        )
-        return rowptr[None], out_col[None], out_val[None]
+        row, col, val = _expand_chunks(a_loc, b_full, chunk_k, chunks_cap)
+        c_loc = merge_products(row, col, val, m_loc, n, out_cap,
+                               val_dtype=a_va.dtype)
+        return c_loc.rowptr[None], c_loc.colidx[None], c_loc.vals[None]
 
     fn = jax.shard_map(
         local_fn,
@@ -184,7 +186,9 @@ def dist_spgemm_ring(
         a_loc = CSR(a_rp[0], a_ci[0], a_va[0], (m_loc, k))
         b_ci0, b_va0 = b_ci[0], b_va[0]
 
-        # per-product destination metadata (independent of ring step)
+        # per-product destination metadata (independent of ring step);
+        # scatter+cumsum entry map, not searchsorted (80x slower on TPU,
+        # scripts/micro_bench.py)
         b_len = (b_rp_glob[1:] - b_rp_glob[:-1]).astype(INDEX_DTYPE)
         a_rows = a_loc.row_ids()
         per_nz = jnp.where(a_rows < m_loc, b_len[a_loc.colidx], 0).astype(
@@ -194,10 +198,8 @@ def dist_spgemm_ring(
         starts = ends - per_nz
         total = ends[-1]
         t = jnp.arange(prod_cap, dtype=INDEX_DTYPE)
-        src = jnp.minimum(
-            jnp.searchsorted(ends, t, side="right").astype(INDEX_DTYPE),
-            a_loc.capacity - 1,
-        )
+        hits = jnp.zeros(prod_cap, INDEX_DTYPE).at[starts].add(1, mode="drop")
+        src = jnp.clip(jnp.cumsum(hits) - 1, 0, a_loc.capacity - 1)
         valid_t = t < total
         inner = t - starts[src]
         bcol = a_loc.colidx[src]  # B row feeding this product
@@ -231,10 +233,10 @@ def dist_spgemm_ring(
         )
         _, _, col_t, val_t = jax.lax.fori_loop(0, n_shards, step, init)
         val_t = jnp.where(valid_t, val_t, 0)
-        rowptr, out_col, out_val = sort_compress(
-            row_t, col_t, val_t, m_loc, out_cap, a_va.dtype
+        c_loc = merge_products(
+            row_t, col_t, val_t, m_loc, n, out_cap, val_dtype=a_va.dtype
         )
-        return rowptr[None], out_col[None], out_val[None]
+        return c_loc.rowptr[None], c_loc.colidx[None], c_loc.vals[None]
 
     fn = jax.shard_map(
         local_fn,

@@ -35,7 +35,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..sparse.csr import CSR, INDEX_DTYPE, pad_bucket
-from ..ops.esc import expand_products, sort_compress
+from ..ops.chunked import _expand_chunks, merge_products, pad_gentle
 from .dist import ShardedCSR, shard_rows, unshard
 
 
@@ -241,14 +241,16 @@ def dist_spgemm_halo(
                 recv_off[0], recv_sz[0], axis, plan.chunk_cap,
             )
 
-        # 3. local SpGEMM against the assembled halo-B
+        # 3. local SpGEMM against the assembled halo-B (chunked-ESC core)
         a_loc = CSR(a_rp[0], a_ci[0], a_va[0], (m_loc, halo_rows_cap))
         b_halo = CSR(halo_rp[0], halo_ci, halo_va, (halo_rows_cap, n))
-        row, col, val = expand_products(a_loc, b_halo, plan.prod_cap)
-        rowptr, out_col, out_val = sort_compress(
-            row, col, val, m_loc, plan.out_cap, a_va.dtype
+        chunk_k = 8
+        chunks_cap = pad_gentle(plan.prod_cap // chunk_k + a_loc.capacity + 1)
+        row, col, val = _expand_chunks(a_loc, b_halo, chunk_k, chunks_cap)
+        c_loc = merge_products(
+            row, col, val, m_loc, n, plan.out_cap, val_dtype=a_va.dtype
         )
-        return rowptr[None], out_col[None], out_val[None]
+        return c_loc.rowptr[None], c_loc.colidx[None], c_loc.vals[None]
 
     fn = jax.shard_map(
         local_fn,

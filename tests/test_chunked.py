@@ -1,0 +1,76 @@
+"""Chunked-ESC (slice-gather + sort-merge) SpGEMM vs scipy golden."""
+import numpy as np
+import pytest
+
+from benchmark_spgemm_using_csr_tpu import CSR
+from benchmark_spgemm_using_csr_tpu.ops.chunked import (
+    make_chunked_plan,
+    spgemm_chunked,
+)
+from benchmark_spgemm_using_csr_tpu.utils import generators
+from benchmark_spgemm_using_csr_tpu.utils.oracle import (
+    assert_csr_equal,
+    random_csr,
+    spgemm_reference,
+)
+
+MATRICES = {
+    "poisson2d": lambda: generators.poisson2d(24),
+    "er": lambda: generators.erdos_renyi(300, 300, 6.0, seed=7),
+    "powerlaw": lambda: generators.power_law(400, 400, alpha=1.9, max_deg=200, seed=8),
+    "banded": lambda: generators.banded(256, bandwidth=3, seed=9),
+}
+
+
+@pytest.mark.parametrize("name", list(MATRICES))
+def test_chunked_square_vs_scipy(name):
+    a = CSR.from_scipy(MATRICES[name]())
+    plan = make_chunked_plan(a, a)
+    c = spgemm_chunked(a, a, plan)
+    assert_csr_equal(c, spgemm_reference(a, a), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("k", [4, 8, 32])
+def test_chunked_various_k(k):
+    a = CSR.from_scipy(generators.power_law(256, 256, alpha=1.9, max_deg=100, seed=3))
+    plan = make_chunked_plan(a, a, k=k)
+    c = spgemm_chunked(a, a, plan)
+    assert_csr_equal(c, spgemm_reference(a, a), rtol=1e-4, atol=1e-5)
+
+
+def test_chunked_rectangular():
+    a = random_csr(100, 60, density=0.1, seed=1)
+    b = random_csr(60, 140, density=0.08, seed=2)
+    plan = make_chunked_plan(a, b)
+    c = spgemm_chunked(a, b, plan)
+    assert_csr_equal(c, spgemm_reference(a, b), rtol=1e-4, atol=1e-5)
+
+
+def test_chunked_empty_and_single():
+    import scipy.sparse as sp
+
+    z = CSR.from_scipy(sp.csr_matrix((16, 16), dtype=np.float32))
+    plan = make_chunked_plan(z, z)
+    c = spgemm_chunked(z, z, plan)
+    assert int(np.asarray(c.rowptr)[-1]) == 0
+
+    s = sp.csr_matrix(([2.0], ([1], [2])), shape=(4, 4)).astype(np.float32)
+    a = CSR.from_scipy(s)
+    plan = make_chunked_plan(a, a)
+    c = spgemm_chunked(a, a, plan)
+    assert_csr_equal(c, spgemm_reference(a, a), rtol=1e-6, atol=1e-7)
+
+
+def test_chunked_empty_rows_mixed():
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(4)
+    a_sp = sp.random(128, 128, density=0.05, random_state=42, format="csr").astype(
+        np.float32
+    )
+    a_sp[30:60, :] = 0
+    a_sp.eliminate_zeros()
+    a = CSR.from_scipy(a_sp)
+    plan = make_chunked_plan(a, a)
+    c = spgemm_chunked(a, a, plan)
+    assert_csr_equal(c, spgemm_reference(a, a), rtol=1e-4, atol=1e-5)
