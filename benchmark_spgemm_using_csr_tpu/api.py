@@ -47,10 +47,21 @@ def spgemm(
         raise ValueError(f"inner dims mismatch: {a.shape} @ {b.shape}")
     total = int(_symbolic_total(a, b))
     prod_capacity = pad_bucket(total)
-    if method in ("auto", "chunked"):
+    if method == "auto":
+        # MXU block path wins when occupied-block density is high enough to
+        # amortize the flop inflation (measured crossover ~2% at (8,128) on
+        # TPU v5e: banded 15.6% -> 6x faster, poisson 1.3% -> tie).
+        from .ops.bsr import bsr_viable
+
+        method = "bsr" if (a is b and bsr_viable(a)) else "chunked"
+    if method == "chunked":
         from .ops.chunked import make_chunked_plan, spgemm_chunked
 
         c = spgemm_chunked(a, b, make_chunked_plan(a, b))
+    elif method == "bsr":
+        from .ops.bsr import spgemm_bsr
+
+        c = spgemm_bsr(a, b)
     elif method == "fused":
         from .ops.fused import make_plan as _make_fused_plan, spgemm_fused
 

@@ -41,7 +41,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--method",
         default="auto",
-        choices=["auto", "chunked", "fused", "esc", "binned", "hash"],
+        choices=["auto", "chunked", "bsr", "fused", "esc", "binned", "hash"],
     )
     p.add_argument("--runs", type=int, default=5)
     p.add_argument("--warmup", type=int, default=2)

@@ -177,3 +177,38 @@ def block_density(a: CSR, block_shape=(8, 128)) -> float:
     if not nblocks:
         return 1.0
     return sp_a.nnz / (nblocks * bm * bn)
+
+
+def bsr_viable(
+    a: CSR,
+    block_shape=(8, 128),
+    min_density: float = 0.02,
+    max_pair_bytes: int = 2 << 30,
+) -> bool:
+    """Full dispatch check for C = A @ A: shape divisibility, occupied-block
+    density, AND product-block memory (power-law hubs can pass the density
+    test while the block-pair count explodes). Pure numpy — no scipy BSR
+    conversion (which costs ~25 s on random 1M-nnz matrices)."""
+    bm, bk = block_shape
+    m, n = a.shape
+    if m % bm or n % bk or m % bk or n % bk:
+        return False
+    rowptr = np.asarray(a.rowptr)
+    nnz = int(rowptr[-1])
+    if not nnz:
+        return True
+    rows = np.repeat(np.arange(m, dtype=np.int64), np.diff(rowptr))
+    cols = np.asarray(a.colidx)[:nnz].astype(np.int64)
+    nbk = n // bk
+
+    # A's occupied (bm, bk) blocks
+    a_keys = np.unique((rows // bm) * nbk + cols // bk)
+    density = nnz / (a_keys.size * bm * bk)
+    if density < min_density:
+        return False
+
+    # B(==A)'s occupied (bk, bk) blocks per block row
+    b_keys = np.unique((rows // bk) * nbk + cols // bk)
+    b_blen = np.bincount(b_keys // nbk, minlength=m // bk)
+    pairs = int(b_blen[a_keys % nbk].sum())
+    return pairs * bm * bk * 4 <= max_pair_bytes

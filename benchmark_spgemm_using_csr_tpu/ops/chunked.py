@@ -129,41 +129,55 @@ def _expand_chunks(a: CSR, b: CSR, k: int, chunks_cap: int):
     # one packed 4-field gather of per-entry metadata. Packed as int32, NOT
     # f32: small ints bitcast to f32 are denormals and TPU flushes denormals
     # to zero — float values survive an int32 bitcast unchanged instead.
-    meta = jnp.stack(
-        [
-            jax.lax.bitcast_convert_type(a.vals.astype(F32), jnp.int32),
-            a_rows.astype(jnp.int32),
-            b.rowptr[a.colidx].astype(jnp.int32),
-            per_nz.astype(jnp.int32),
-        ],
-        axis=1,
-    )  # (capacityA, 4) int32
-    meta_c = meta[src]  # (chunks_cap, 4)
-    a_val = jax.lax.bitcast_convert_type(meta_c[:, 0], F32)
-    row = meta_c[:, 1]
-    b_start = meta_c[:, 2]
-    seg_len = meta_c[:, 3]
+    # 32-bit value dtypes ride the packed gather; wider dtypes (f64 path)
+    # take one extra separate gather.
+    pack_vals = a.vals.dtype in (jnp.float32, jnp.bfloat16, jnp.float16)
+    fields = [
+        a_rows.astype(jnp.int32),
+        b.rowptr[a.colidx].astype(jnp.int32),
+        per_nz.astype(jnp.int32),
+    ]
+    if pack_vals:
+        fields.insert(
+            0, jax.lax.bitcast_convert_type(a.vals.astype(F32), jnp.int32)
+        )
+    meta = jnp.stack(fields, axis=1)  # (capacityA, 3|4) int32
+    meta_c = meta[src]  # (chunks_cap, 3|4)
+    if pack_vals:
+        # stays f32 through the product stream (bf16 inputs accumulate in
+        # f32; merge_products casts back to the value dtype at the end)
+        a_val = jax.lax.bitcast_convert_type(meta_c[:, 0], F32)
+        row, b_start, seg_len = meta_c[:, 1], meta_c[:, 2], meta_c[:, 3]
+    else:
+        a_val = a.vals[src]
+        row, b_start, seg_len = meta_c[:, 0], meta_c[:, 1], meta_c[:, 2]
 
     pos = b_start + chunk_idx * k
     rem = seg_len - chunk_idx * k  # valid lanes in this chunk
 
     # slice-gather of B's packed (col, val) pairs: K contiguous per chunk.
     # int32-packed for the same denormal-flush reason as meta above.
-    b_packed = jnp.stack(
-        [
-            b.colidx.astype(jnp.int32),
-            jax.lax.bitcast_convert_type(b.vals.astype(F32), jnp.int32),
-        ],
-        axis=1,
-    )  # (capacityB, 2) int32
     # advanced-index gather beats vmap(dynamic_slice) 10x on this TPU
     # (scripts/micro_gather.py): one packed gather of (chunks, k, 2)
     lane = jnp.arange(k, dtype=INDEX_DTYPE)
     pos_c = jnp.clip(pos, 0, max(b.capacity - k, 0))
-    tile = b_packed[pos_c[:, None] + lane[None, :], :]  # (chunks_cap, k, 2)
+    gidx = pos_c[:, None] + lane[None, :]
     lane_valid = chunk_valid[:, None] & (lane[None, :] < rem[:, None])
-    col = tile[:, :, 0]
-    val = jax.lax.bitcast_convert_type(tile[:, :, 1], F32) * a_val[:, None]
+    if pack_vals:
+        b_packed = jnp.stack(
+            [
+                b.colidx.astype(jnp.int32),
+                jax.lax.bitcast_convert_type(b.vals.astype(F32), jnp.int32),
+            ],
+            axis=1,
+        )  # (capacityB, 2) int32
+        tile = b_packed[gidx, :]  # (chunks_cap, k, 2)
+        col = tile[:, :, 0]
+        b_val = jax.lax.bitcast_convert_type(tile[:, :, 1], F32)
+    else:
+        col = b.colidx[gidx].astype(jnp.int32)
+        b_val = b.vals[gidx]
+    val = b_val * a_val[:, None]
     row_t = jnp.where(lane_valid, row[:, None], m)
     col_t = jnp.where(lane_valid, col, 0)
     val_t = jnp.where(lane_valid, val, 0.0)
@@ -197,33 +211,60 @@ def _segmented_runsum(row, col, val, max_run: int = 0):
     return run
 
 
+def _rc_pack_bits(m: int, n: int) -> int:
+    """Bits for the packed (row << bits | col) int32 key, or 0 if it
+    doesn't fit. Fitting cuts sort operands 3→2 and 4→3 (sorts dominate)."""
+    col_bits = max(int(n).bit_length(), 1)
+    return col_bits if (m + 1) << col_bits < (1 << 31) else 0
+
+
 def merge_products(row, col, val, m: int, n: int, out_cap: int,
-                   max_run: int = 0, val_dtype=None) -> CSR:
+                   max_run: int = 0, val_dtype=None,
+                   pack: bool | None = None) -> CSR:
     """Stages 3-4 on a flat product stream (row==m marks invalid slots):
     sort by (row, col) → segmented run-sum → sort-based compaction →
-    searchsorted rowptr. Shared by single-chip and distributed paths."""
+    searchsorted rowptr. Shared by single-chip and distributed paths.
+
+    pack: force (True) / disable (False) the packed-int32 key fast path;
+    None = auto by whether (m, n) fit in 31 bits."""
     val_dtype = val_dtype or val.dtype
     cap = row.shape[0]
+    bits = _rc_pack_bits(m, n)
+    if pack is False:
+        bits = 0
+    elif pack is True and not bits:
+        raise ValueError(f"(m={m}, n={n}) does not fit a packed int32 key")
 
-    # stage 3: sort products by (row, col); sentinel rows (m) sink to tail
-    row, col, val = jax.lax.sort((row, col, val), num_keys=2)
+    if bits:
+        rc = (row.astype(INDEX_DTYPE) << bits) | col.astype(INDEX_DTYPE)
+        rc, val = jax.lax.sort((rc, val), num_keys=1)
+        run_val = _segmented_runsum(rc, rc, val, max_run)
+        valid = rc < (m << bits)
+        next_rc = jnp.concatenate([rc[1:], jnp.full((1,), -1, rc.dtype)])
+        is_tail = valid & (rc != next_rc)
+        uniq_pos = jnp.cumsum(is_tail.astype(INDEX_DTYPE)) - 1
+        key = jnp.where(is_tail, uniq_pos, cap).astype(INDEX_DTYPE)
+        _, rc_c, val_c = jax.lax.sort((key, rc, run_val), num_keys=1)
+        n_uniq = jnp.sum(is_tail.astype(INDEX_DTYPE))
+        row_c = rc_c >> bits
+        col_c = rc_c & ((1 << bits) - 1)
+    else:
+        # stage 3: sort by (row, col); sentinel rows (m) sink to tail
+        row, col, val = jax.lax.sort((row, col, val), num_keys=2)
+        run_val = _segmented_runsum(row, col, val, max_run)
+        valid = row < m
+        next_row = jnp.concatenate([row[1:], jnp.full((1,), -1, row.dtype)])
+        next_col = jnp.concatenate([col[1:], jnp.full((1,), -1, col.dtype)])
+        is_tail = valid & ((row != next_row) | (col != next_col))
+        uniq_pos = jnp.cumsum(is_tail.astype(INDEX_DTYPE)) - 1
+        key = jnp.where(is_tail, uniq_pos, cap).astype(INDEX_DTYPE)
+        _, row_c, col_c, val_c = jax.lax.sort(
+            (key, row, col, run_val), num_keys=1
+        )
+        n_uniq = jnp.sum(is_tail.astype(INDEX_DTYPE))
 
-    # stage 3b: merge duplicates — tails of equal-(row,col) runs hold sums
-    run_val = _segmented_runsum(row, col, val, max_run)
-    valid = row < m
-    next_row = jnp.concatenate([row[1:], jnp.full((1,), -1, row.dtype)])
-    next_col = jnp.concatenate([col[1:], jnp.full((1,), -1, col.dtype)])
-    is_tail = valid & ((row != next_row) | (col != next_col))
-
-    # stage 4: sort-based compaction — tails first, in (row, col) order
-    uniq_pos = jnp.cumsum(is_tail.astype(INDEX_DTYPE)) - 1
-    key = jnp.where(is_tail, uniq_pos, cap).astype(INDEX_DTYPE)
-    _, row_c, col_c, val_c = jax.lax.sort(
-        (key, row, col, run_val), num_keys=1
-    )
     out_col = col_c[:out_cap].astype(INDEX_DTYPE)
     out_val = val_c[:out_cap].astype(val_dtype)
-    n_uniq = jnp.sum(is_tail.astype(INDEX_DTYPE))
 
     # rowptr via binary search over the compacted row stream
     row_c = jnp.where(jnp.arange(cap, dtype=INDEX_DTYPE) < n_uniq, row_c, m)

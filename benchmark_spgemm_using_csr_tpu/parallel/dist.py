@@ -21,6 +21,7 @@ per shard so shard_map sees uniform blocks.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from functools import partial
 from typing import Tuple
 
@@ -113,6 +114,29 @@ def unshard(c: ShardedCSR, trim: bool = True) -> CSR:
 # ---------------------------------------------------------------------------
 
 
+@functools.lru_cache(maxsize=128)
+def _replicated_exec(mesh, axis, m_loc, kdim, n, chunk_k, chunks_cap, out_cap):
+    """Cached compiled executable — re-tracing shard_map per call costs
+    seconds of compile time; cache key = mesh + static shape plan."""
+
+    def local_fn(a_rp, a_ci, a_va, b_rp, b_ci, b_va):
+        a_loc = CSR(a_rp[0], a_ci[0], a_va[0], (m_loc, kdim))
+        b_full = CSR(b_rp, b_ci, b_va, (kdim, n))
+        row, col, val = _expand_chunks(a_loc, b_full, chunk_k, chunks_cap)
+        c_loc = merge_products(row, col, val, m_loc, n, out_cap,
+                               val_dtype=a_va.dtype)
+        return c_loc.rowptr[None], c_loc.colidx[None], c_loc.vals[None]
+
+    return jax.jit(
+        jax.shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(), P(), P()),
+            out_specs=(P(axis), P(axis), P(axis)),
+        )
+    )
+
+
 def dist_spgemm_replicated(
     a: ShardedCSR,
     b: CSR,
@@ -128,23 +152,10 @@ def dist_spgemm_replicated(
     shards of the stage-1 bound); local compute is the chunked-ESC core."""
     m, k = a.shape
     n = b.n
-    m_loc = a.m_loc
     # chunks <= products/k + one partial chunk per stored A entry
     chunks_cap = pad_gentle(prod_cap // chunk_k + a.cap + 1)
-
-    def local_fn(a_rp, a_ci, a_va, b_rp, b_ci, b_va):
-        a_loc = CSR(a_rp[0], a_ci[0], a_va[0], (m_loc, k))
-        b_full = CSR(b_rp, b_ci, b_va, (k, n))
-        row, col, val = _expand_chunks(a_loc, b_full, chunk_k, chunks_cap)
-        c_loc = merge_products(row, col, val, m_loc, n, out_cap,
-                               val_dtype=a_va.dtype)
-        return c_loc.rowptr[None], c_loc.colidx[None], c_loc.vals[None]
-
-    fn = jax.shard_map(
-        local_fn,
-        mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(), P(), P()),
-        out_specs=(P(axis), P(axis), P(axis)),
+    fn = _replicated_exec(
+        mesh, axis, a.m_loc, k, n, chunk_k, chunks_cap, out_cap
     )
     rowptr, colidx, vals = fn(
         a.rowptr, a.colidx, a.vals, b.rowptr, b.colidx, b.vals
@@ -157,33 +168,13 @@ def dist_spgemm_replicated(
 # ---------------------------------------------------------------------------
 
 
-def dist_spgemm_ring(
-    a: ShardedCSR,
-    b: ShardedCSR,
-    b_rowptr_global: jax.Array,
-    mesh: Mesh,
-    prod_cap: int,
-    out_cap: int,
-    axis: str = "rows",
-) -> ShardedCSR:
-    """C = A @ B with both A and B row-sharded; B blocks ride the ring.
-
-    ``b_rowptr_global``: the (k+1,) global B rowptr, replicated (tiny).
-    Each device precomputes, for every local intermediate product, its final
-    slot and the *global* B value position; during step s it fills the slots
-    whose B row lives in the currently-resident block, then rotates the
-    block to the right neighbor (compute and ppermute overlap under XLA's
-    async collectives).
-    """
-    m, k = a.shape
-    n = b.shape[1]
-    m_loc = a.m_loc
-    k_loc = b.m_loc
-    n_shards = a.n_shards
+@functools.lru_cache(maxsize=128)
+def _ring_exec(mesh, axis, m_loc, k_loc, kdim, n, n_shards, prod_cap, out_cap):
+    """Cached compiled ring executable (see _replicated_exec)."""
 
     def local_fn(a_rp, a_ci, a_va, b_ci, b_va, b_rp_glob):
         my = jax.lax.axis_index(axis)
-        a_loc = CSR(a_rp[0], a_ci[0], a_va[0], (m_loc, k))
+        a_loc = CSR(a_rp[0], a_ci[0], a_va[0], (m_loc, kdim))
         b_ci0, b_va0 = b_ci[0], b_va[0]
 
         # per-product destination metadata (independent of ring step);
@@ -238,11 +229,38 @@ def dist_spgemm_ring(
         )
         return c_loc.rowptr[None], c_loc.colidx[None], c_loc.vals[None]
 
-    fn = jax.shard_map(
-        local_fn,
-        mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P()),
-        out_specs=(P(axis), P(axis), P(axis)),
+    return jax.jit(
+        jax.shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P()),
+            out_specs=(P(axis), P(axis), P(axis)),
+        )
+    )
+
+
+def dist_spgemm_ring(
+    a: ShardedCSR,
+    b: ShardedCSR,
+    b_rowptr_global: jax.Array,
+    mesh: Mesh,
+    prod_cap: int,
+    out_cap: int,
+    axis: str = "rows",
+) -> ShardedCSR:
+    """C = A @ B with both A and B row-sharded; B blocks ride the ring.
+
+    ``b_rowptr_global``: the (k+1,) global B rowptr, replicated (tiny).
+    Each device precomputes, for every local intermediate product, its final
+    slot and the *global* B value position; during step s it fills the slots
+    whose B row lives in the currently-resident block, then rotates the
+    block to the right neighbor (compute and ppermute overlap under XLA's
+    async collectives).
+    """
+    m, k = a.shape
+    n = b.shape[1]
+    fn = _ring_exec(
+        mesh, axis, a.m_loc, b.m_loc, k, n, a.n_shards, prod_cap, out_cap
     )
     rowptr, colidx, vals = fn(
         a.rowptr, a.colidx, a.vals, b.colidx, b.vals, b_rowptr_global

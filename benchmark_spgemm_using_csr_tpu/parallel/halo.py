@@ -27,6 +27,7 @@ replicate.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Tuple
 
 import jax
@@ -203,11 +204,31 @@ def dist_spgemm_halo(
     """
     m, k = plan.a_sh.shape
     n = plan.shape_b[1]
-    m_loc = plan.a_sh.m_loc
-    k_loc = b.m_loc
-    halo_rows_cap = plan.halo_rowptr.shape[1] - 1
     if use_ragged is None:
         use_ragged = next(iter(mesh.devices.flat)).platform == "tpu"
+    fn = _halo_exec(
+        mesh, axis, plan.a_sh.m_loc, b.m_loc, n,
+        plan.halo_rowptr.shape[1] - 1, plan.send_payload_cap,
+        plan.halo_nnz_cap, plan.chunk_cap, plan.prod_cap, plan.out_cap,
+        use_ragged,
+    )
+    rowptr, colidx, vals = fn(
+        plan.a_sh.rowptr, plan.a_sh.colidx, plan.a_sh.vals,
+        b.rowptr, b.colidx, b.vals,
+        plan.send_rows, plan.input_offsets, plan.send_sizes,
+        plan.output_offsets, plan.recv_sizes, plan.recv_offsets,
+        plan.halo_rowptr,
+    )
+    return ShardedCSR(rowptr, colidx, vals, (m, n))
+
+
+@functools.lru_cache(maxsize=128)
+def _halo_exec(
+    mesh, axis, m_loc, k_loc, n, halo_rows_cap, send_payload_cap,
+    halo_nnz_cap, chunk_cap, prod_cap, out_cap, use_ragged,
+):
+    """Cached compiled halo executable (re-tracing shard_map per call costs
+    seconds; key = mesh + the plan's static capacities)."""
 
     def local_fn(
         a_rp, a_ci, a_va, b_rp, b_ci, b_va,
@@ -217,11 +238,11 @@ def dist_spgemm_halo(
         b_loc = CSR(b_rp[0], b_ci[0], b_va[0], (k_loc, n))
         from ..sparse.csr import csr_gather_rows
 
-        payload = csr_gather_rows(b_loc, send_rows[0], plan.send_payload_cap)
+        payload = csr_gather_rows(b_loc, send_rows[0], send_payload_cap)
 
         # 2. ragged exchange of colidx + vals
-        halo_ci = jnp.zeros(plan.halo_nnz_cap, INDEX_DTYPE)
-        halo_va = jnp.zeros(plan.halo_nnz_cap, a_va.dtype)
+        halo_ci = jnp.zeros(halo_nnz_cap, INDEX_DTYPE)
+        halo_va = jnp.zeros(halo_nnz_cap, a_va.dtype)
         if use_ragged:
             halo_ci = jax.lax.ragged_all_to_all(
                 payload.colidx, halo_ci,
@@ -234,42 +255,36 @@ def dist_spgemm_halo(
         else:
             halo_ci = _padded_a2a_exchange(
                 payload.colidx, halo_ci, in_off[0], send_sz[0],
-                recv_off[0], recv_sz[0], axis, plan.chunk_cap,
+                recv_off[0], recv_sz[0], axis, chunk_cap,
             )
             halo_va = _padded_a2a_exchange(
                 payload.vals, halo_va, in_off[0], send_sz[0],
-                recv_off[0], recv_sz[0], axis, plan.chunk_cap,
+                recv_off[0], recv_sz[0], axis, chunk_cap,
             )
 
         # 3. local SpGEMM against the assembled halo-B (chunked-ESC core)
         a_loc = CSR(a_rp[0], a_ci[0], a_va[0], (m_loc, halo_rows_cap))
         b_halo = CSR(halo_rp[0], halo_ci, halo_va, (halo_rows_cap, n))
         chunk_k = 8
-        chunks_cap = pad_gentle(plan.prod_cap // chunk_k + a_loc.capacity + 1)
+        chunks_cap = pad_gentle(prod_cap // chunk_k + a_loc.capacity + 1)
         row, col, val = _expand_chunks(a_loc, b_halo, chunk_k, chunks_cap)
         c_loc = merge_products(
-            row, col, val, m_loc, n, plan.out_cap, val_dtype=a_va.dtype
+            row, col, val, m_loc, n, out_cap, val_dtype=a_va.dtype
         )
         return c_loc.rowptr[None], c_loc.colidx[None], c_loc.vals[None]
 
-    fn = jax.shard_map(
-        local_fn,
-        mesh=mesh,
-        in_specs=(
-            P(axis), P(axis), P(axis),  # A
-            P(axis), P(axis), P(axis),  # B
-            P(axis), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
-        ),
-        out_specs=(P(axis), P(axis), P(axis)),
+    return jax.jit(
+        jax.shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=(
+                P(axis), P(axis), P(axis),  # A
+                P(axis), P(axis), P(axis),  # B
+                P(axis), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
+            ),
+            out_specs=(P(axis), P(axis), P(axis)),
+        )
     )
-    rowptr, colidx, vals = fn(
-        plan.a_sh.rowptr, plan.a_sh.colidx, plan.a_sh.vals,
-        b.rowptr, b.colidx, b.vals,
-        plan.send_rows, plan.input_offsets, plan.send_sizes,
-        plan.output_offsets, plan.recv_sizes, plan.recv_offsets,
-        plan.halo_rowptr,
-    )
-    return ShardedCSR(rowptr, colidx, vals, (m, n))
 
 
 def spgemm_halo(a: CSR, b: CSR, mesh: Mesh, axis: str = "rows") -> CSR:

@@ -1,0 +1,71 @@
+"""Value-dtype coverage: bf16 on the standard path, f64 via x64 subprocess
+(SURVEY.md §9 hard-part (b): FP64 configs via XLA x64 mode)."""
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from benchmark_spgemm_using_csr_tpu import CSR, make_chunked_plan, spgemm_chunked
+from benchmark_spgemm_using_csr_tpu.utils import generators
+from benchmark_spgemm_using_csr_tpu.utils.oracle import spgemm_reference
+
+
+def test_bf16_values():
+    import jax.numpy as jnp
+
+    a_sp = generators.erdos_renyi(200, 200, 5.0, seed=9)
+    a = CSR.from_scipy(a_sp, dtype=jnp.bfloat16)
+    plan = make_chunked_plan(a, a)
+    c = spgemm_chunked(a, a, plan)
+    assert c.vals.dtype == jnp.bfloat16
+    want = (a_sp @ a_sp).toarray()
+    # scipy can't densify bf16 — rebuild with f32 values
+    import scipy.sparse as sp
+
+    rowptr = np.asarray(c.rowptr)
+    nnz = int(rowptr[-1])
+    got = sp.csr_matrix(
+        (
+            np.asarray(c.vals[:nnz]).astype(np.float32),
+            np.asarray(c.colidx[:nnz]),
+            rowptr,
+        ),
+        shape=c.shape,
+    ).toarray()
+    # bf16 product accumulated in f32: ~2-3 decimal digits
+    np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
+
+
+@pytest.mark.slow
+def test_f64_values_subprocess():
+    code = r"""
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import numpy as np
+from benchmark_spgemm_using_csr_tpu import CSR, make_chunked_plan, spgemm_chunked
+from benchmark_spgemm_using_csr_tpu.utils import generators
+
+a_sp = generators.erdos_renyi(200, 200, 5.0, seed=9).astype(np.float64)
+a = CSR.from_scipy(a_sp)
+assert str(a.vals.dtype) == "float64", a.vals.dtype
+plan = make_chunked_plan(a, a)
+c = spgemm_chunked(a, a, plan)
+assert str(c.vals.dtype) == "float64", c.vals.dtype
+want = (a_sp @ a_sp).toarray()
+np.testing.assert_allclose(np.asarray(c.to_scipy().toarray()), want,
+                           rtol=1e-12, atol=1e-12)
+print("F64 OK")
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "F64 OK" in out.stdout
