@@ -39,6 +39,14 @@ def build_parser() -> argparse.ArgumentParser:
         "(kinds: poisson2d, er, powerlaw, banded)",
     )
     p.add_argument(
+        "--op",
+        default="spgemm",
+        choices=["spgemm", "spmv", "spmm"],
+        help="benchmarked operation (spgemm: C=A@A; spmv: y=A@x; "
+        "spmm: Y=A@X with k=--spmm-k dense columns)",
+    )
+    p.add_argument("--spmm-k", type=int, default=64)
+    p.add_argument(
         "--method",
         default="auto",
         choices=["auto", "chunked", "bsr", "fused", "esc", "binned", "hash"],
@@ -109,6 +117,10 @@ def main(argv=None) -> int:
     a = CSR.from_scipy(a_sp, dtype=np_dtype)
     m, n = a.shape
     nnz_a = int(np.asarray(a.rowptr)[-1])
+
+    if args.op in ("spmv", "spmm"):
+        return run_spmv_spmm(args, a, a_sp, nnz_a)
+
     flops = spgemm_flops(a, a)
     nnz_ct = flops // 2
 
@@ -194,6 +206,59 @@ def main(argv=None) -> int:
         report = roofline_report(models, total_time_s=res.mean_s)
         print(json.dumps(report, indent=2, default=float))
 
+    return 0 if verified in (True, None) else 1
+
+
+def run_spmv_spmm(args, a, a_sp, nnz_a: int) -> int:
+    """Benchmark y = A @ x (spmv) or Y = A @ X (spmm) vs the scipy golden."""
+    import jax.numpy as jnp
+
+    from .ops.spmv import spmm as spmm_op, spmv as spmv_op
+    from .utils.timing import bench
+
+    m, n = a.shape
+    rng = np.random.default_rng(0)
+    if args.op == "spmv":
+        x = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+        run = lambda: spmv_op(a, x)
+        flops = 2 * nnz_a
+        want = a_sp @ np.asarray(x)
+    else:
+        x = jnp.asarray(rng.standard_normal((n, args.spmm_k)).astype(np.float32))
+        run = lambda: spmm_op(a, x)
+        flops = 2 * nnz_a * args.spmm_k
+        want = a_sp @ np.asarray(x)
+
+    res = bench(run, name=args.matrix, warmup=args.warmup, runs=args.runs,
+                flops=flops)
+    verified = None
+    if not args.no_verify:
+        got = np.asarray(run())
+        verified = bool(np.allclose(got, want, rtol=1e-3, atol=1e-3))
+        if not verified:
+            print("VERIFY FAILED (spmv/spmm)", file=sys.stderr)
+
+    record = {
+        "matrix": args.matrix,
+        "op": args.op,
+        "m": m,
+        "n": n,
+        "nnz_a": nnz_a,
+        "mean_s": res.mean_s,
+        "min_s": res.min_s,
+        "gflops": res.gflops,
+        "verified": verified,
+    }
+    if args.out:
+        from .utils.results import write_result
+
+        write_result(args.out, record)
+    if args.json:
+        print(json.dumps(record))
+    else:
+        print(f"{args.op}: {args.matrix} mean {res.mean_s*1e3:.3f} ms  "
+              f"{res.gflops:.4f} GFlops  verify "
+              f"{'PASS' if verified else ('skip' if verified is None else 'FAIL')}")
     return 0 if verified in (True, None) else 1
 
 

@@ -62,6 +62,11 @@ class ChunkedPlan:
     chunks_cap: int  # padded number of chunks
     out_cap: int  # padded nnzC bound
     max_run: int = 0  # padded max duplicates per (row, col); 0 = unbounded
+    # (col,val) pairs per gather descriptor. >1 cuts descriptor count but
+    # materializes a (chunks, rows, 2*b_pack) tile whose small trailing dims
+    # get padded to (8,128) TPU tiles — a 70x memory blowup that OOMs real
+    # chips (measured). Keep 1 on TPU; >1 is only safe on CPU.
+    b_pack: int = 1
 
     @property
     def prod_cap(self) -> int:
@@ -99,7 +104,7 @@ def make_chunked_plan(a: CSR, b: CSR, k: int | None = None) -> ChunkedPlan:
     )
 
 
-def _expand_chunks(a: CSR, b: CSR, k: int, chunks_cap: int):
+def _expand_chunks(a: CSR, b: CSR, k: int, chunks_cap: int, b_pack: int = 1):
     """Stages 1-2: chunk metadata + slice-gather product expansion.
 
     Returns flat (row, col, val) of shape (chunks_cap * k,); invalid slots
@@ -161,7 +166,6 @@ def _expand_chunks(a: CSR, b: CSR, k: int, chunks_cap: int):
     # (scripts/micro_gather.py): one packed gather of (chunks, k, 2)
     lane = jnp.arange(k, dtype=INDEX_DTYPE)
     pos_c = jnp.clip(pos, 0, max(b.capacity - k, 0))
-    gidx = pos_c[:, None] + lane[None, :]
     lane_valid = chunk_valid[:, None] & (lane[None, :] < rem[:, None])
     if pack_vals:
         b_packed = jnp.stack(
@@ -171,10 +175,37 @@ def _expand_chunks(a: CSR, b: CSR, k: int, chunks_cap: int):
             ],
             axis=1,
         )  # (capacityB, 2) int32
-        tile = b_packed[gidx, :]  # (chunks_cap, k, 2)
-        col = tile[:, :, 0]
-        b_val = jax.lax.bitcast_convert_type(tile[:, :, 1], F32)
+        if b_pack > 1 and b.capacity % b_pack == 0:
+            # gather throughput here is descriptor-rate-bound (~100M/s,
+            # scripts/micro_gather.py): pack b_pack pairs per table row so
+            # each descriptor fetches 8*b_pack bytes, then realign the
+            # per-chunk window with static slices + a b_pack-way select.
+            nrows_tbl = b.capacity // b_pack
+            tbl = b_packed.reshape(nrows_tbl, 2 * b_pack)
+            base = pos_c // b_pack
+            off = pos_c % b_pack
+            rows_needed = (k + b_pack - 1) // b_pack + 1
+            gidx2 = jnp.clip(
+                base[:, None]
+                + jnp.arange(rows_needed, dtype=INDEX_DTYPE)[None, :],
+                0,
+                nrows_tbl - 1,
+            )
+            raw = tbl[gidx2]  # (chunks, rows_needed, 2*b_pack)
+            flat = raw.reshape(chunks_cap, rows_needed * b_pack, 2)
+            off3 = off[:, None, None]
+            sel = flat[:, 0:k, :]
+            for s in range(1, b_pack):
+                sel = jnp.where(off3 == s, flat[:, s : s + k, :], sel)
+            col = sel[:, :, 0]
+            b_val = jax.lax.bitcast_convert_type(sel[:, :, 1], F32)
+        else:
+            gidx = pos_c[:, None] + lane[None, :]
+            tile = b_packed[gidx, :]  # (chunks_cap, k, 2)
+            col = tile[:, :, 0]
+            b_val = jax.lax.bitcast_convert_type(tile[:, :, 1], F32)
     else:
+        gidx = pos_c[:, None] + lane[None, :]
         col = b.colidx[gidx].astype(jnp.int32)
         b_val = b.vals[gidx]
     val = b_val * a_val[:, None]
@@ -242,11 +273,11 @@ def merge_products(row, col, val, m: int, n: int, out_cap: int,
         valid = rc < (m << bits)
         next_rc = jnp.concatenate([rc[1:], jnp.full((1,), -1, rc.dtype)])
         is_tail = valid & (rc != next_rc)
+        row_sorted = jnp.minimum(rc >> bits, m)
         uniq_pos = jnp.cumsum(is_tail.astype(INDEX_DTYPE)) - 1
         key = jnp.where(is_tail, uniq_pos, cap).astype(INDEX_DTYPE)
         _, rc_c, val_c = jax.lax.sort((key, rc, run_val), num_keys=1)
         n_uniq = jnp.sum(is_tail.astype(INDEX_DTYPE))
-        row_c = rc_c >> bits
         col_c = rc_c & ((1 << bits) - 1)
     else:
         # stage 3: sort by (row, col); sentinel rows (m) sink to tail
@@ -256,22 +287,27 @@ def merge_products(row, col, val, m: int, n: int, out_cap: int,
         next_row = jnp.concatenate([row[1:], jnp.full((1,), -1, row.dtype)])
         next_col = jnp.concatenate([col[1:], jnp.full((1,), -1, col.dtype)])
         is_tail = valid & ((row != next_row) | (col != next_col))
+        row_sorted = row
         uniq_pos = jnp.cumsum(is_tail.astype(INDEX_DTYPE)) - 1
         key = jnp.where(is_tail, uniq_pos, cap).astype(INDEX_DTYPE)
-        _, row_c, col_c, val_c = jax.lax.sort(
-            (key, row, col, run_val), num_keys=1
-        )
+        # rowptr is derived from the pre-compaction stream (below), so the
+        # compaction sort does not carry the row array
+        _, col_c, val_c = jax.lax.sort((key, col, run_val), num_keys=1)
         n_uniq = jnp.sum(is_tail.astype(INDEX_DTYPE))
 
     out_col = col_c[:out_cap].astype(INDEX_DTYPE)
     out_val = val_c[:out_cap].astype(val_dtype)
 
-    # rowptr via binary search over the compacted row stream
-    row_c = jnp.where(jnp.arange(cap, dtype=INDEX_DTYPE) < n_uniq, row_c, m)
+    # rowptr from the sorted (pre-compaction) stream: rowptr[i] = number of
+    # unique tails strictly before the first element with row >= i
     needles = jnp.arange(m + 1, dtype=INDEX_DTYPE)
-    rowptr = jnp.searchsorted(row_c[:out_cap], needles, side="left").astype(
-        INDEX_DTYPE
-    )
+    first_ge = jnp.searchsorted(row_sorted, needles, side="left")
+    cum_tails = uniq_pos + 1  # inclusive tail count
+    rowptr = jnp.where(
+        first_ge > 0,
+        cum_tails[jnp.maximum(first_ge - 1, 0)],
+        0,
+    ).astype(INDEX_DTYPE)
     rowptr = jnp.minimum(rowptr, n_uniq)
     return CSR(rowptr=rowptr, colidx=out_col, vals=out_val, shape=(m, n))
 
@@ -280,7 +316,9 @@ def merge_products(row, col, val, m: int, n: int, out_cap: int,
 def spgemm_chunked(a: CSR, b: CSR, plan: ChunkedPlan) -> CSR:
     """C = A @ B, one dispatch, sort-based merge (see module docstring)."""
     m, n = a.m, b.n
-    row, col, val = _expand_chunks(a, b, plan.k, plan.chunks_cap)
+    row, col, val = _expand_chunks(
+        a, b, plan.k, plan.chunks_cap, b_pack=plan.b_pack
+    )
     return merge_products(
         row, col, val, m, n, plan.out_cap, plan.max_run, a.vals.dtype
     )
