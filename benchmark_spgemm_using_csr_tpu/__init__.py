@@ -12,6 +12,8 @@ from .ops.binned import spgemm_binned_host
 from .ops.chunked import make_chunked_plan, spgemm_chunked
 from .ops.fused import make_plan as make_fused_plan, spgemm_fused
 from .ops.hash import spgemm_hash
+from .ops.batched import spgemm_batched
+from .compat import BhSparse
 
 __version__ = "0.1.0"
 
