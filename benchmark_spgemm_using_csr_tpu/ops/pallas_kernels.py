@@ -157,8 +157,13 @@ def bin_sort_compress(
     if width & (width - 1):
         raise ValueError(f"width {width} must be a power of two")
     if not block_rows:
-        # VMEM budget: ~6 live (block, width) tiles * 4B; target <= 8 MB
-        block_rows = max(min(r, (8 * 1024 * 1024) // (width * 4 * 6)), 8)
+        # VMEM budget: ~6 live (block, width) tiles * 4B, against the 16 MB
+        # scoped-vmem limit. VMEM tiles pad the lane dim to 128, so narrow
+        # widths still cost 128 lanes per row. Power-of-two floor so the
+        # divisibility loop converges to a useful divisor.
+        eff_width = max(width, 128)
+        block_rows = max(min(r, (4 * 1024 * 1024) // (eff_width * 4 * 6)), 8)
+        block_rows = 1 << (block_rows.bit_length() - 1)
         while r % block_rows:
             block_rows //= 2
         block_rows = max(block_rows, 1)
