@@ -124,6 +124,19 @@ def main() -> None:
         res_k = bench(lambda: kfn(arg), name=name, warmup=1, runs=3,
                       flops=flops * K_ITERS)
         device_s = res_k.mean_s / K_ITERS
+
+        # speed-of-light fraction (analytic minimum HBM traffic / measured)
+        from benchmark_spgemm_using_csr_tpu.utils.roofline import (
+            roofline_report,
+            spgemm_stage_models,
+        )
+
+        nnz_a = int(np.asarray(a.rowptr)[-1])
+        models = spgemm_stage_models(
+            nnz_a=nnz_a, nnz_b=nnz_a, m=a.m,
+            total_products=flops // 2, nnz_c=nnz_c,
+        )
+        sol = roofline_report(models, total_time_s=device_s)["_total"]
         per_matrix[name] = {
             "gflops": flops / device_s / 1e9,
             "device_s": device_s,
@@ -131,6 +144,7 @@ def main() -> None:
             "flops": flops,
             "nnz_c": nnz_c,
             "method": "bsr" if use_bsr else "chunked",
+            "sol_fraction": round(float(sol.get("sol_fraction", 0.0)), 4),
         }
         write_result(
             "results.jsonl",

@@ -86,13 +86,26 @@ def make_chunked_plan(a: CSR, b: CSR, k: int | None = None) -> ChunkedPlan:
     b_len = np.diff(np.asarray(b.rowptr))
     nnz_a = int(np.asarray(a.rowptr)[-1])
     total = int(nnz_ct.sum())
+    lens = b_len[np.asarray(a.colidx)[:nnz_a]]
     if k is None:
-        # k near the mean B-row length minimizes chunk-lane padding
-        # (k need not be a power of two — the gather is advanced-indexing)
-        k = int(np.clip(round(total / max(nnz_a, 1)), 4, 256))
+        # pick k minimizing the exact gathered-element count (the measured
+        # bottleneck): tile gather moves 2*sum(ceil(len/k))*k elements, the
+        # packed meta gather 4*sum(ceil(len/k)); evaluate candidates around
+        # the mean length (k need not be a power of two — advanced indexing)
+        mean_len = max(total / max(nnz_a, 1), 1.0)
+        cands = sorted(
+            {int(np.clip(round(mean_len * f), 4, 256)) for f in (0.5, 0.75, 1.0, 1.5, 2.0)}
+        )
+        if lens.size:
+            costs = [
+                2 * int(np.ceil(lens / c).sum()) * c + 4 * int(np.ceil(lens / c).sum())
+                for c in cands
+            ]
+            k = cands[int(np.argmin(costs))]
+        else:
+            k = cands[0]
     k = min(k, b.capacity)
     # chunks: per A entry ceil(len(B_col)/K); bound via per-row sums
-    lens = b_len[np.asarray(a.colidx)[:nnz_a]]
     chunks = int(np.ceil(lens / k).sum()) if nnz_a else 0
     # duplicates of one (row, col) are bounded by that A-row's nnz
     a_len_max = int(np.diff(np.asarray(a.rowptr)).max(initial=1))
