@@ -83,11 +83,16 @@ def spgemm_batched(
         a_blk = CSR(a_blk.rowptr, a_blk.colidx, a_blk.vals, (rows_pad.size, a.n))
         chunks = int(chunk_per_entry[a_rowptr[lo] : a_rowptr[hi]].sum())
         prod = int(nnz_ct[lo:hi].sum())
+        # pow2 buckets (not pad_gentle): budget-sized blocks mostly land in
+        # ONE bucket, so tens of blocks share a single compilation instead
+        # of compiling per block
         plan = ChunkedPlan(
             k=k,
-            chunks_cap=pad_gentle(max(chunks, 1)),
-            out_cap=pad_gentle(max(min(prod, int(np.minimum(nnz_ct[lo:hi], n).sum())), 1)),
-            max_run=pad_bucket(int(a_lens[lo:hi].max(initial=1))),
+            chunks_cap=pad_bucket(max(chunks, 1)),
+            out_cap=pad_bucket(
+                max(min(prod, int(np.minimum(nnz_ct[lo:hi], n).sum())), 1)
+            ),
+            max_run=pad_bucket(int(np.max(a_lens) if a_lens.size else 1)),
         )
         c_blk = spgemm_chunked(a_blk, b, plan)
         rp = np.asarray(c_blk.rowptr)[: rows.size + 1]

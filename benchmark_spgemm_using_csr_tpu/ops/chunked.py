@@ -178,7 +178,10 @@ def _expand_chunks(a: CSR, b: CSR, k: int, chunks_cap: int, b_pack: int = 1):
     # advanced-index gather beats vmap(dynamic_slice) 10x on this TPU
     # (scripts/micro_gather.py): one packed gather of (chunks, k, 2)
     lane = jnp.arange(k, dtype=INDEX_DTYPE)
-    pos_c = jnp.clip(pos, 0, max(b.capacity - k, 0))
+    # NEVER clip the segment start: a valid B segment may begin within k of
+    # the buffer end (nnzB == capacity) and clipping would shift its reads.
+    # Clip per-lane indices instead — valid lanes always index < capacity,
+    # only masked out-of-segment lanes get clamped.
     lane_valid = chunk_valid[:, None] & (lane[None, :] < rem[:, None])
     if pack_vals:
         b_packed = jnp.stack(
@@ -195,8 +198,9 @@ def _expand_chunks(a: CSR, b: CSR, k: int, chunks_cap: int, b_pack: int = 1):
             # per-chunk window with static slices + a b_pack-way select.
             nrows_tbl = b.capacity // b_pack
             tbl = b_packed.reshape(nrows_tbl, 2 * b_pack)
-            base = pos_c // b_pack
-            off = pos_c % b_pack
+            pos_nn = jnp.maximum(pos, 0)
+            base = pos_nn // b_pack
+            off = pos_nn % b_pack
             rows_needed = (k + b_pack - 1) // b_pack + 1
             gidx2 = jnp.clip(
                 base[:, None]
@@ -213,12 +217,12 @@ def _expand_chunks(a: CSR, b: CSR, k: int, chunks_cap: int, b_pack: int = 1):
             col = sel[:, :, 0]
             b_val = jax.lax.bitcast_convert_type(sel[:, :, 1], F32)
         else:
-            gidx = pos_c[:, None] + lane[None, :]
+            gidx = jnp.clip(pos[:, None] + lane[None, :], 0, b.capacity - 1)
             tile = b_packed[gidx, :]  # (chunks_cap, k, 2)
             col = tile[:, :, 0]
             b_val = jax.lax.bitcast_convert_type(tile[:, :, 1], F32)
     else:
-        gidx = pos_c[:, None] + lane[None, :]
+        gidx = jnp.clip(pos[:, None] + lane[None, :], 0, b.capacity - 1)
         col = b.colidx[gidx].astype(jnp.int32)
         b_val = b.vals[gidx]
     val = b_val * a_val[:, None]
