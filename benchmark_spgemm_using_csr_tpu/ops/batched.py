@@ -28,17 +28,21 @@ def plan_row_batches(
     nnz_ct: np.ndarray, stream_budget: int
 ) -> list[tuple[int, int]]:
     """Greedy contiguous row blocks with <= stream_budget products each
-    (single oversized rows become singleton blocks)."""
+    (single oversized rows become singleton blocks). Vectorized: one
+    searchsorted per block over the prefix sums — O(blocks log m), not a
+    Python loop over millions of rows."""
+    m = len(nnz_ct)
+    if m == 0:
+        return [(0, 0)]
+    cum = np.concatenate([[0], np.cumsum(nnz_ct, dtype=np.int64)])
     blocks = []
     start = 0
-    acc = 0
-    for i, c in enumerate(nnz_ct):
-        if acc and acc + int(c) > stream_budget:
-            blocks.append((start, i))
-            start, acc = i, 0
-        acc += int(c)
-    if start < len(nnz_ct) or not blocks:
-        blocks.append((start, len(nnz_ct)))
+    while start < m:
+        end = int(np.searchsorted(cum, cum[start] + stream_budget, side="right")) - 1
+        end = max(end, start + 1)  # oversized single row -> singleton block
+        end = min(end, m)
+        blocks.append((start, end))
+        start = end
     return blocks
 
 
@@ -47,8 +51,13 @@ def spgemm_batched(
     b: CSR,
     stream_budget: int = 64 * 1024 * 1024,
     k: int | None = None,
-) -> CSR:
-    """C = A @ B with bounded peak memory (see module docstring)."""
+    as_scipy: bool | None = None,
+) -> "CSR | object":
+    """C = A @ B with bounded peak memory (see module docstring).
+
+    as_scipy: return a host scipy CSR instead of a device CSR container.
+    None = auto: host result whenever the assembled C exceeds 2 GiB (the
+    point of the out-of-core path is that C may not fit HBM)."""
     m, n = a.m, b.n
     nnz_ct = np.asarray(jax.jit(nnz_upper_bound)(a, b))
     a_rowptr = np.asarray(a.rowptr)
@@ -73,28 +82,45 @@ def spgemm_batched(
     vals_parts = []
     lens_b = b_len[np.asarray(a.colidx)[: int(a_rowptr[-1])]]
     chunk_per_entry = np.ceil(lens_b / k).astype(np.int64) if lens_b.size else lens_b
+    chunk_cum = np.concatenate([[0], np.cumsum(chunk_per_entry)])
+    prod_cum = np.concatenate([[0], np.cumsum(nnz_ct, dtype=np.int64)])
+    out_bound = np.concatenate(
+        [[0], np.cumsum(np.minimum(nnz_ct, n), dtype=np.int64)]
+    )
 
-    for lo, hi in blocks:
+    # UNIFORM capacities (max over blocks) so every block shares ONE
+    # compilation — per-block shape buckets caused a ~40-70 s compile per
+    # block through the remote compiler (measured: minutes -> one compile)
+    rows_cap = pad_bucket(max(hi - lo for lo, hi in blocks))
+    nnz_cap = pad_bucket(
+        max(int(a_rowptr[hi] - a_rowptr[lo]) for lo, hi in blocks)
+    )
+    chunks_cap = pad_bucket(
+        max(int(chunk_cum[a_rowptr[hi]] - chunk_cum[a_rowptr[lo]]) for lo, hi in blocks)
+    )
+    out_cap = pad_bucket(
+        max(int(min(prod_cum[hi] - prod_cum[lo], out_bound[hi] - out_bound[lo]))
+            for lo, hi in blocks)
+    )
+    plan = ChunkedPlan(
+        k=k,
+        chunks_cap=chunks_cap,
+        out_cap=out_cap,
+        max_run=pad_bucket(int(np.max(a_lens) if a_lens.size else 1)),
+    )
+
+    import logging
+
+    log = logging.getLogger(__name__)
+    for i, (lo, hi) in enumerate(blocks):
         rows = np.arange(lo, hi, dtype=np.int32)
-        rows_pad = np.full(pad_bucket(rows.size), m, np.int32)
+        rows_pad = np.full(rows_cap, m, np.int32)
         rows_pad[: rows.size] = rows
-        nnz_blk = int(a_rowptr[hi] - a_rowptr[lo])
-        a_blk = csr_gather_rows(a, jnp.asarray(rows_pad), pad_bucket(max(nnz_blk, 1)))
-        a_blk = CSR(a_blk.rowptr, a_blk.colidx, a_blk.vals, (rows_pad.size, a.n))
-        chunks = int(chunk_per_entry[a_rowptr[lo] : a_rowptr[hi]].sum())
-        prod = int(nnz_ct[lo:hi].sum())
-        # pow2 buckets (not pad_gentle): budget-sized blocks mostly land in
-        # ONE bucket, so tens of blocks share a single compilation instead
-        # of compiling per block
-        plan = ChunkedPlan(
-            k=k,
-            chunks_cap=pad_bucket(max(chunks, 1)),
-            out_cap=pad_bucket(
-                max(min(prod, int(np.minimum(nnz_ct[lo:hi], n).sum())), 1)
-            ),
-            max_run=pad_bucket(int(np.max(a_lens) if a_lens.size else 1)),
-        )
+        a_blk = csr_gather_rows(a, jnp.asarray(rows_pad), nnz_cap)
+        a_blk = CSR(a_blk.rowptr, a_blk.colidx, a_blk.vals, (rows_cap, a.n))
         c_blk = spgemm_chunked(a_blk, b, plan)
+        if i % 8 == 0:
+            log.info("block %d/%d rows [%d, %d)", i + 1, len(blocks), lo, hi)
         rp = np.asarray(c_blk.rowptr)[: rows.size + 1]
         nnz_c_blk = int(rp[-1])
         out_rowptr[lo + 1 : hi + 1] = out_rowptr[lo] + rp[1:]
@@ -102,9 +128,20 @@ def spgemm_batched(
         vals_parts.append(np.asarray(c_blk.vals)[:nnz_c_blk])
 
     nnz_c = int(out_rowptr[m])
+    val_dtype = np.asarray(vals_parts[0]).dtype if vals_parts else np.float32
+    if as_scipy is None:
+        as_scipy = nnz_c * (4 + np.dtype(val_dtype).itemsize) > (2 << 30)
+    if as_scipy:
+        import scipy.sparse as sp
+
+        colidx = np.concatenate(cols_parts) if cols_parts else np.zeros(0, np.int32)
+        vals = np.concatenate(vals_parts) if vals_parts else np.zeros(0, val_dtype)
+        return sp.csr_matrix(
+            (vals, colidx, out_rowptr.astype(np.int64)), shape=(m, n)
+        )
     cap = pad_bucket(max(nnz_c, 1))
     colidx = np.zeros(cap, np.int32)
-    vals = np.zeros(cap, np.asarray(vals_parts[0]).dtype if vals_parts else np.float32)
+    vals = np.zeros(cap, val_dtype)
     off = 0
     for c_, v_ in zip(cols_parts, vals_parts):
         colidx[off : off + len(c_)] = c_

@@ -11,6 +11,8 @@ import argparse
 import os
 import sys
 import time
+import logging
+logging.basicConfig(level=logging.INFO)
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -52,9 +54,9 @@ def main():
     print(f"  intermediate products F={flops//2:,} (flops={flops:,})")
 
     t0 = time.time()
-    c = spgemm_batched(a, a, stream_budget=int(args.budget))
+    c_sp = spgemm_batched(a, a, stream_budget=int(args.budget), as_scipy=True)
     elapsed = time.time() - t0
-    nnz_c = int(np.asarray(c.rowptr)[-1])
+    nnz_c = int(c_sp.nnz)
     gflops = flops / elapsed / 1e9
     print(f"C = A@A: nnzC={nnz_c:,}  {elapsed:.1f}s  {gflops:.3f} GFlops "
           f"(wall, incl. host block orchestration)")
@@ -62,7 +64,6 @@ def main():
     # sampled verification (full scipy golden at this size is ~minutes)
     rng = np.random.default_rng(0)
     rows = np.sort(rng.choice(m, size=args.check_sample, replace=False))
-    c_sp = c.to_scipy().tocsr()
     want = (a_sp[rows] @ a_sp).tocsr()
     got = c_sp[rows]
     diff = abs(got - want)
