@@ -10,10 +10,9 @@ buckets so jit recompiles are logarithmic (SURVEY.md §9 hard-part (a)).
 """
 from __future__ import annotations
 
-from functools import partial
 
 import jax
-import jax.numpy as jnp
+
 import numpy as np
 
 from .sparse.csr import CSR, pad_bucket

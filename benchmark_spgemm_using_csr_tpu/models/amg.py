@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 import scipy.sparse as sp
 
-from ..sparse.csr import CSR, csr_transpose, pad_bucket
+from ..sparse.csr import CSR, csr_transpose
 from ..api import spgemm
 from ..ops.spmv import spmv
 

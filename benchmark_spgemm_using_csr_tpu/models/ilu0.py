@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 import scipy.sparse as sp
 
-from ..sparse.csr import CSR, INDEX_DTYPE
+from ..sparse.csr import CSR
 
 
 @dataclasses.dataclass(frozen=True)

@@ -19,8 +19,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..sparse.csr import CSR, INDEX_DTYPE, csr_gather_rows, pad_bucket
-from .chunked import ChunkedPlan, pad_gentle, spgemm_chunked
+from ..sparse.csr import CSR, csr_gather_rows, pad_bucket
+from .chunked import ChunkedPlan, spgemm_chunked
 from .symbolic import nnz_upper_bound
 
 

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..sparse.csr import BSR, CSR, INDEX_DTYPE, pad_bucket, row_ids_from_rowptr
+from ..sparse.csr import BSR, CSR, INDEX_DTYPE, row_ids_from_rowptr
 from .chunked import pad_gentle
 
 F32 = jnp.float32

@@ -14,7 +14,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..sparse.csr import BSR, CSR, INDEX_DTYPE
+from ..sparse.csr import BSR, CSR
 
 
 @jax.jit

@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from functools import partial
 from typing import Tuple
 
 import jax
@@ -30,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..sparse.csr import CSR, INDEX_DTYPE, pad_bucket, row_ids_from_rowptr
+from ..sparse.csr import CSR, INDEX_DTYPE, pad_bucket
 from ..ops.chunked import _expand_chunks, merge_products, pad_gentle
 from ..ops.symbolic import products_per_nz
 

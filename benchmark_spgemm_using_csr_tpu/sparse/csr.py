@@ -14,7 +14,6 @@ through; masking is done via row ids (padding maps to virtual row ``m``).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Tuple
 
 import jax
