@@ -147,6 +147,68 @@ def split_lu(f: CSR):
     return l, u
 
 
+def ilu0_apply(f: CSR, r, iters: int = 20):
+    """Apply the ILU0 preconditioner: z = U^{-1} L^{-1} r via Jacobi
+    triangular solves on the combined-storage factor ``f``."""
+    import jax.numpy as jnp
+
+    from ..sparse.csr import CSR as _CSR
+    from ..ops.spmv import spmv
+    from .amg import diag_of
+
+    # split on device is awkward; keep combined storage and mask per solve:
+    # L = I + strictly-lower(f), U = upper(f) incl. diagonal.
+    row = f.row_ids()
+    rc = jnp.minimum(row, f.m - 1)
+    low_mask = (f.colidx < rc) & (row < f.m)
+    up_mask = (f.colidx >= rc) & (row < f.m)
+    l = _CSR(f.rowptr, f.colidx, jnp.where(low_mask, f.vals, 0), f.shape)
+    u = _CSR(f.rowptr, f.colidx, jnp.where(up_mask, f.vals, 0), f.shape)
+
+    # L y = r with unit diagonal: y_{k+1} = r - L_strict y_k
+    y = r
+    for _ in range(iters):
+        y = r - spmv(l, y)
+    # U z = y: z_{k+1} = z + D^{-1}(y - U z)
+    dinv = 1.0 / diag_of(u)
+    z = dinv * y
+    for _ in range(iters):
+        z = z + dinv * (y - spmv(u, z))
+    return z
+
+
+def pcg(a: CSR, b, f: CSR | None = None, tol: float = 1e-6, max_iters: int = 200,
+        solve_iters: int = 20):
+    """Preconditioned conjugate gradients with the ILU0 factor ``f`` as
+    M ≈ A (plain CG when f is None) — the end-to-end ILU0 demo."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..ops.spmv import spmv
+
+    x = jnp.zeros_like(b)
+    r = b - spmv(a, x)
+    z = ilu0_apply(f, r, solve_iters) if f is not None else r
+    p = z
+    rz = jnp.dot(r, z)
+    bnorm = float(jnp.linalg.norm(b))
+    history = []
+    for _ in range(max_iters):
+        rnorm = float(jnp.linalg.norm(r))
+        history.append(rnorm / bnorm)
+        if rnorm / bnorm < tol:
+            break
+        ap = spmv(a, p)
+        alpha = rz / jnp.dot(p, ap)
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = ilu0_apply(f, r, solve_iters) if f is not None else r
+        rz_new = jnp.dot(r, z)
+        p = z + (rz_new / rz) * p
+        rz = rz_new
+    return np.asarray(x), history
+
+
 def ilu0_residual_on_pattern(a: CSR, f: CSR) -> float:
     """max |(L U - A)_ij| over the pattern of A — the ILU0 defining property."""
     l, u = split_lu(f)
