@@ -155,6 +155,35 @@ class CSR:
         vals[:nnz] = np.asarray(self.vals)[:nnz]
         return CSR(self.rowptr, jnp.asarray(colidx), jnp.asarray(vals), self.shape)
 
+    def validate(self) -> "CSR":
+        """Host-side structural validation with precise errors (the facade's
+        guard against malformed user input). Returns self for chaining."""
+        rowptr = np.asarray(self.rowptr)
+        colidx = np.asarray(self.colidx)
+        m, n = self.shape
+        if rowptr.shape != (m + 1,):
+            raise ValueError(f"rowptr shape {rowptr.shape} != ({m + 1},)")
+        if rowptr[0] != 0:
+            raise ValueError(f"rowptr[0] = {rowptr[0]} != 0")
+        if (np.diff(rowptr) < 0).any():
+            bad = int(np.argmax(np.diff(rowptr) < 0))
+            raise ValueError(f"rowptr not non-decreasing at row {bad}")
+        nnz = int(rowptr[-1])
+        if nnz > self.capacity:
+            raise ValueError(f"nnz {nnz} exceeds capacity {self.capacity}")
+        if nnz and (colidx[:nnz] < 0).any():
+            raise ValueError("negative column index")
+        if nnz and (colidx[:nnz] >= n).any():
+            bad = int(np.argmax(colidx[:nnz] >= n))
+            raise ValueError(
+                f"colidx[{bad}] = {colidx[bad]} out of range for n = {n}"
+            )
+        if self.vals.shape != self.colidx.shape:
+            raise ValueError(
+                f"vals shape {self.vals.shape} != colidx shape {self.colidx.shape}"
+            )
+        return self
+
     # ---- persistence (SURVEY.md §7.4: checkpoint/resume) ------------------
     def save(self, path: str) -> None:
         np.savez(
