@@ -16,8 +16,11 @@ Pipeline (all static shapes, one dispatch):
 1. **Chunk split.** Each A entry (i, j, a_v) contributes len(B_j) products.
    Split that segment into ceil(len/K) chunks of K: the chunk stream is the
    ragged dimension, built with one small scatter + cumsum (never
-   searchsorted — measured 80x slower). Per-chunk metadata (a_val, row,
-   B-start, remaining-len) is fetched with ONE 4-field packed gather.
+   searchsorted — measured 80x slower). Per-chunk metadata (row, B-position,
+   remaining-len) is *delta-propagated* — scatter each entry's delta at its
+   first chunk, cumsum — because wide-row meta gathers run at only ~30 M
+   desc/s on this TPU (scripts/micro_rowgather.py); only a_val takes a
+   narrow 1D gather.
 2. **Slice-gather expansion.** Chunk c reads B's packed (colidx, val) pairs
    at [start_c, start_c + K) via a vmapped dynamic_slice — an XLA gather
    with slice_sizes=(K, 2). Products = (chunks, K) tile; invalid lanes get
@@ -88,17 +91,21 @@ def make_chunked_plan(a: CSR, b: CSR, k: int | None = None) -> ChunkedPlan:
     total = int(nnz_ct.sum())
     lens = b_len[np.asarray(a.colidx)[:nnz_a]]
     if k is None:
-        # pick k minimizing the exact gathered-element count (the measured
-        # bottleneck): tile gather moves 2*sum(ceil(len/k))*k elements, the
-        # packed meta gather 4*sum(ceil(len/k)); evaluate candidates around
-        # the mean length (k need not be a power of two — advanced indexing)
+        # pick k minimizing modeled device time: per padded product (tile
+        # gather descriptor + the two sorts + runsum + finish, measured
+        # ~9 ns combined) vs per chunk (three cumsum slots + the a_val
+        # gather + scatter, ~13 ns) — evaluate candidates around the mean
+        # length (k need not be a power of two — advanced indexing)
         mean_len = max(total / max(nnz_a, 1), 1.0)
         cands = sorted(
             {int(np.clip(round(mean_len * f), 4, 256)) for f in (0.5, 0.75, 1.0, 1.5, 2.0)}
         )
         if lens.size:
+            w_prod, w_chunk = 9.0, 13.0
             costs = [
-                2 * int(np.ceil(lens / c).sum()) * c + 4 * int(np.ceil(lens / c).sum())
+                (lambda ch: w_prod * ch * c + w_chunk * ch)(
+                    int(np.ceil(lens / c).sum())
+                )
                 for c in cands
             ]
             k = cands[int(np.argmin(costs))]
@@ -115,6 +122,24 @@ def make_chunked_plan(a: CSR, b: CSR, k: int | None = None) -> ChunkedPlan:
         out_cap=pad_gentle(max(min(total, int(np.minimum(nnz_ct, b.n).sum())), 1)),
         max_run=pad_bucket(a_len_max),
     )
+
+
+def _propagate_entry_consts(starts, deltas_src, chunks_cap: int):
+    """Broadcast per-entry int32 constants onto the chunk stream WITHOUT a
+    per-chunk gather: scatter-add each entry's *delta vs the previous entry*
+    at its first chunk, then cumsum. Values telescope exactly (int32), and
+    entries with zero chunks collide additively at the next entry's start —
+    their deltas sum to the correct skip. Measured ~3x faster than the
+    packed (capA, 4) row gather it replaces: wide-row gathers run at only
+    ~30 M desc/s on this TPU (scripts/micro_rowgather.py) while the scatter
+    is one descriptor per A entry and cumsum is bandwidth-cheap.
+    """
+    outs = []
+    for q in deltas_src:
+        d = q - jnp.concatenate([jnp.zeros((1,), q.dtype), q[:-1]])
+        acc = jnp.zeros(chunks_cap, q.dtype).at[starts].add(d, mode="drop")
+        outs.append(jnp.cumsum(acc))
+    return outs
 
 
 def _expand_chunks(a: CSR, b: CSR, k: int, chunks_cap: int, b_pack: int = 1):
@@ -142,41 +167,35 @@ def _expand_chunks(a: CSR, b: CSR, k: int, chunks_cap: int, b_pack: int = 1):
     src = jnp.clip(src, 0, a.capacity - 1)
     c_ids = jnp.arange(chunks_cap, dtype=INDEX_DTYPE)
     chunk_valid = c_ids < total_chunks
-    chunk_idx = c_ids - starts[src]
 
-    # one packed 4-field gather of per-entry metadata. Packed as int32, NOT
-    # f32: small ints bitcast to f32 are denormals and TPU flushes denormals
-    # to zero — float values survive an int32 bitcast unchanged instead.
-    # 32-bit value dtypes ride the packed gather; wider dtypes (f64 path)
-    # take one extra separate gather.
-    pack_vals = a.vals.dtype in (jnp.float32, jnp.bfloat16, jnp.float16)
-    fields = [
-        a_rows.astype(jnp.int32),
-        b.rowptr[a.colidx].astype(jnp.int32),
-        per_nz.astype(jnp.int32),
-    ]
-    if pack_vals:
-        fields.insert(
-            0, jax.lax.bitcast_convert_type(a.vals.astype(F32), jnp.int32)
-        )
-    meta = jnp.stack(fields, axis=1)  # (capacityA, 3|4) int32
-    meta_c = meta[src]  # (chunks_cap, 3|4)
-    if pack_vals:
-        # stays f32 through the product stream (bf16 inputs accumulate in
-        # f32; merge_products casts back to the value dtype at the end)
-        a_val = jax.lax.bitcast_convert_type(meta_c[:, 0], F32)
-        row, b_start, seg_len = meta_c[:, 1], meta_c[:, 2], meta_c[:, 3]
-    else:
-        a_val = a.vals[src]
-        row, b_start, seg_len = meta_c[:, 0], meta_c[:, 1], meta_c[:, 2]
-
-    pos = b_start + chunk_idx * k
-    rem = seg_len - chunk_idx * k  # valid lanes in this chunk
+    # Per-chunk metadata via delta-propagation (no wide meta gather):
+    # pos[c] = b_start[e] + (c - starts[e])*k = (b_start - k*starts)[e] + k*c
+    # rem[c] = per_nz[e]  - (c - starts[e])*k = (per_nz  + k*starts)[e] - k*c
+    # — both brackets are entry-constant, as is the row id: three int32
+    # propagations. (k*starts fits int32 because k*starts <= prod_cap, which
+    # the batched driver bounds well below 2^31.)
+    b_start = b.rowptr[a.colidx].astype(INDEX_DTYPE)
+    q_row = a_rows.astype(INDEX_DTYPE)
+    q_posb = b_start - k * starts
+    q_remb = per_nz + k * starts
+    row, posb, remb = _propagate_entry_consts(
+        starts, (q_row, q_posb, q_remb), chunks_cap
+    )
+    pos = posb + k * c_ids
+    rem = remb - k * c_ids  # per-chunk remaining valid lanes
+    # the only remaining per-chunk gather: A values (narrow 1D, ~240 M/s)
+    a_val = a.vals[src]
+    if a_val.dtype in (jnp.bfloat16, jnp.float16):
+        a_val = a_val.astype(F32)  # accumulate products in f32
 
     # slice-gather of B's packed (col, val) pairs: K contiguous per chunk.
-    # int32-packed for the same denormal-flush reason as meta above.
-    # advanced-index gather beats vmap(dynamic_slice) 10x on this TPU
-    # (scripts/micro_gather.py): one packed gather of (chunks, k, 2)
+    # Packed as int32, NOT f32: small ints bitcast to f32 are denormals and
+    # TPU flushes denormals to zero — float values survive an int32 bitcast
+    # unchanged instead. advanced-index gather beats vmap(dynamic_slice) 10x
+    # on this TPU (scripts/micro_gather.py): one packed gather of
+    # (chunks, k, 2). 32-bit value dtypes ride the packed gather; wider
+    # dtypes (f64 path) take two separate gathers.
+    pack_vals = b.vals.dtype in (jnp.float32, jnp.bfloat16, jnp.float16)
     lane = jnp.arange(k, dtype=INDEX_DTYPE)
     # NEVER clip the segment start: a valid B segment may begin within k of
     # the buffer end (nnzB == capacity) and clipping would shift its reads.
