@@ -188,21 +188,21 @@ def _expand_chunks(a: CSR, b: CSR, k: int, chunks_cap: int, b_pack: int = 1):
     if a_val.dtype in (jnp.bfloat16, jnp.float16):
         a_val = a_val.astype(F32)  # accumulate products in f32
 
-    # slice-gather of B's packed (col, val) pairs: K contiguous per chunk.
-    # Packed as int32, NOT f32: small ints bitcast to f32 are denormals and
-    # TPU flushes denormals to zero — float values survive an int32 bitcast
-    # unchanged instead. advanced-index gather beats vmap(dynamic_slice) 10x
-    # on this TPU (scripts/micro_gather.py): one packed gather of
-    # (chunks, k, 2). 32-bit value dtypes ride the packed gather; wider
-    # dtypes (f64 path) take two separate gathers.
-    pack_vals = b.vals.dtype in (jnp.float32, jnp.bfloat16, jnp.float16)
+    # slice-gather of B's (col, val) per chunk, in TRANSPOSED (k, chunks)
+    # layout: lanes = the big chunk axis, so no intermediate ever carries a
+    # small trailing dim that XLA would pad to 128 lanes. Two separate 1D
+    # gathers beat one packed (capB, 2) gather here — measured 76 -> 53.5 ms
+    # full-pipeline on powerlaw_medium (scripts/micro_tilelayout.py), and
+    # the layout change alone is most of it. Product order comes out
+    # lane-major (permuted), which is fine: the stream goes straight into a
+    # global sort. Advanced-index gather beats vmap(dynamic_slice) 10x on
+    # this TPU (scripts/micro_gather.py).
     lane = jnp.arange(k, dtype=INDEX_DTYPE)
-    # NEVER clip the segment start: a valid B segment may begin within k of
-    # the buffer end (nnzB == capacity) and clipping would shift its reads.
-    # Clip per-lane indices instead — valid lanes always index < capacity,
-    # only masked out-of-segment lanes get clamped.
-    lane_valid = chunk_valid[:, None] & (lane[None, :] < rem[:, None])
-    if pack_vals:
+    if b_pack > 1 and b.capacity % b_pack == 0:
+        # CPU-only option (Plan.b_pack docs): pack b_pack (col, val-bitcast)
+        # pairs per table row so each descriptor fetches 8*b_pack bytes,
+        # then realign the per-chunk window with static slices + select.
+        lane_valid = chunk_valid[:, None] & (lane[None, :] < rem[:, None])
         b_packed = jnp.stack(
             [
                 b.colidx.astype(jnp.int32),
@@ -210,44 +210,42 @@ def _expand_chunks(a: CSR, b: CSR, k: int, chunks_cap: int, b_pack: int = 1):
             ],
             axis=1,
         )  # (capacityB, 2) int32
-        if b_pack > 1 and b.capacity % b_pack == 0:
-            # gather throughput here is descriptor-rate-bound (~100M/s,
-            # scripts/micro_gather.py): pack b_pack pairs per table row so
-            # each descriptor fetches 8*b_pack bytes, then realign the
-            # per-chunk window with static slices + a b_pack-way select.
-            nrows_tbl = b.capacity // b_pack
-            tbl = b_packed.reshape(nrows_tbl, 2 * b_pack)
-            pos_nn = jnp.maximum(pos, 0)
-            base = pos_nn // b_pack
-            off = pos_nn % b_pack
-            rows_needed = (k + b_pack - 1) // b_pack + 1
-            gidx2 = jnp.clip(
-                base[:, None]
-                + jnp.arange(rows_needed, dtype=INDEX_DTYPE)[None, :],
-                0,
-                nrows_tbl - 1,
-            )
-            raw = tbl[gidx2]  # (chunks, rows_needed, 2*b_pack)
-            flat = raw.reshape(chunks_cap, rows_needed * b_pack, 2)
-            off3 = off[:, None, None]
-            sel = flat[:, 0:k, :]
-            for s in range(1, b_pack):
-                sel = jnp.where(off3 == s, flat[:, s : s + k, :], sel)
-            col = sel[:, :, 0]
-            b_val = jax.lax.bitcast_convert_type(sel[:, :, 1], F32)
-        else:
-            gidx = jnp.clip(pos[:, None] + lane[None, :], 0, b.capacity - 1)
-            tile = b_packed[gidx, :]  # (chunks_cap, k, 2)
-            col = tile[:, :, 0]
-            b_val = jax.lax.bitcast_convert_type(tile[:, :, 1], F32)
+        nrows_tbl = b.capacity // b_pack
+        tbl = b_packed.reshape(nrows_tbl, 2 * b_pack)
+        pos_nn = jnp.maximum(pos, 0)
+        base = pos_nn // b_pack
+        off = pos_nn % b_pack
+        rows_needed = (k + b_pack - 1) // b_pack + 1
+        gidx2 = jnp.clip(
+            base[:, None] + jnp.arange(rows_needed, dtype=INDEX_DTYPE)[None, :],
+            0,
+            nrows_tbl - 1,
+        )
+        raw = tbl[gidx2]  # (chunks, rows_needed, 2*b_pack)
+        flat = raw.reshape(chunks_cap, rows_needed * b_pack, 2)
+        off3 = off[:, None, None]
+        sel = flat[:, 0:k, :]
+        for s in range(1, b_pack):
+            sel = jnp.where(off3 == s, flat[:, s : s + k, :], sel)
+        col = sel[:, :, 0]
+        b_val = jax.lax.bitcast_convert_type(sel[:, :, 1], F32)
+        val = b_val * a_val[:, None]
+        row_t = jnp.where(lane_valid, row[:, None], m)
+        col_t = jnp.where(lane_valid, col, 0)
+        val_t = jnp.where(lane_valid, val, 0.0)
     else:
-        gidx = jnp.clip(pos[:, None] + lane[None, :], 0, b.capacity - 1)
-        col = b.colidx[gidx].astype(jnp.int32)
+        # NEVER clip the segment start: a valid B segment may begin within
+        # k of the buffer end (nnzB == capacity) and clipping would shift
+        # its reads. Clip per-lane indices instead — valid lanes always
+        # index < capacity, only masked out-of-segment lanes get clamped.
+        lane_valid = chunk_valid[None, :] & (lane[:, None] < rem[None, :])
+        gidx = jnp.clip(pos[None, :] + lane[:, None], 0, b.capacity - 1)
+        col = b.colidx[gidx].astype(jnp.int32)  # (k, chunks)
         b_val = b.vals[gidx]
-    val = b_val * a_val[:, None]
-    row_t = jnp.where(lane_valid, row[:, None], m)
-    col_t = jnp.where(lane_valid, col, 0)
-    val_t = jnp.where(lane_valid, val, 0.0)
+        val = b_val * a_val[None, :]
+        row_t = jnp.where(lane_valid, row[None, :], m)
+        col_t = jnp.where(lane_valid, col, 0)
+        val_t = jnp.where(lane_valid, val, 0.0)
     return (
         row_t.reshape(-1).astype(INDEX_DTYPE),
         col_t.reshape(-1).astype(INDEX_DTYPE),

@@ -6,11 +6,18 @@ here, so we generate matrices that reproduce each regime's *row-size
 distribution*, which is what drives the bin dispatcher and kernel choice
 (SURVEY.md §4 stage 2):
 
-- ``poisson2d``   : 5-point stencil, uniform short rows (FEM-like: cant/consph)
+- ``poisson2d``   : 5-point stencil, uniform short rows (mc2depi-like)
+- ``stencil27``   : 27-point 3D stencil, uniform mid rows (cant/consph/
+                    pdb1HYS-like FEM regime, ~27-81 nnz/row)
 - ``banded``      : diagonal band, uniform rows
-- ``erdos_renyi`` : iid random, Poisson row lengths (economics-like)
-- ``power_law``   : scale-free row lengths (webbase-1M / mouse_gene-like;
-                    stresses the long-row / hash path)
+- ``erdos_renyi`` : iid random, Poisson row lengths (mac_econ-like)
+- ``power_law``   : scale-free row lengths (webbase-1M-like; stresses the
+                    long-row / hash path)
+- ``circuit``     : mostly 2-5 nnz rows plus a few dense hub rows/cols
+                    (scircuit-like; stresses the 0/1-product and long-row
+                    bins simultaneously)
+- ``dense_rows``  : every row ~uniformly long (mouse_gene-like, mean
+                    hundreds of nnz/row; stresses the merge/hash path)
 
 All return scipy.sparse CSR (host side); wrap with ``CSR.from_scipy``.
 """
@@ -92,6 +99,83 @@ def power_law(
     return mat
 
 
+def stencil27(k: int, dtype=np.float32) -> sp.csr_matrix:
+    """(k^3, k^3) 27-point stencil on a k x k x k grid — the FEM regime
+    (cant / consph / pdb1HYS analogue: uniform rows of ~27 nnz)."""
+    n = k * k * k
+    idx = np.arange(n, dtype=np.int64)
+    x, y, z = idx // (k * k), (idx // k) % k, idx % k
+    rows, cols, vals = [], [], []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                nx, ny, nz = x + dx, y + dy, z + dz
+                ok = (
+                    (nx >= 0) & (nx < k) & (ny >= 0) & (ny < k)
+                    & (nz >= 0) & (nz < k)
+                )
+                rows.append(idx[ok])
+                cols.append((nx * k * k + ny * k + nz)[ok])
+                w = 26.0 if (dx, dy, dz) == (0, 0, 0) else -1.0
+                vals.append(np.full(int(ok.sum()), w, dtype))
+    mat = sp.coo_matrix(
+        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+        shape=(n, n),
+    ).tocsr()
+    mat.sort_indices()
+    return mat.astype(dtype)
+
+
+def circuit(
+    n: int, nnz_per_row: float = 3.0, n_hubs: int | None = None,
+    hub_deg: int | None = None, dtype=np.float32, seed: int = 0,
+) -> sp.csr_matrix:
+    """scircuit-like: overwhelmingly short rows (diagonal + a couple of
+    couplings) plus a handful of dense rail rows AND rail columns."""
+    rng = np.random.default_rng(seed)
+    n_hubs = n_hubs if n_hubs is not None else max(2, n // 2048)
+    hub_deg = hub_deg if hub_deg is not None else min(n, 2048)
+    lens = rng.poisson(nnz_per_row, size=n).clip(1, n)
+    rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+    cols = rng.integers(0, n, size=int(lens.sum()), dtype=np.int64)
+    hubs = rng.choice(n, size=n_hubs, replace=False)
+    hub_rows = np.repeat(hubs, hub_deg)
+    hub_cols = rng.integers(0, n, size=n_hubs * hub_deg, dtype=np.int64)
+    # rail columns: a slice of the short rows also touch a hub column (each
+    # such entry expands to a full hub row — the long-row stress), kept to
+    # n/16 so C=A*A stays in single-dispatch range
+    n_rail = n // 16
+    rail_rows = rng.integers(0, n, size=n_rail, dtype=np.int64)
+    rail_cols = rng.choice(hubs, size=n_rail)
+    diag = np.arange(n, dtype=np.int64)
+    r = np.concatenate([rows, hub_rows, rail_rows, diag])
+    c = np.concatenate([cols, hub_cols, rail_cols, diag])
+    v = rng.standard_normal(r.size).astype(dtype)
+    mat = sp.coo_matrix((v, (r, c)), shape=(n, n)).tocsr()
+    mat.sum_duplicates()
+    mat.sort_indices()
+    return mat
+
+
+def dense_rows(
+    m: int, n: int, nnz_per_row: int = 384, jitter: float = 0.25,
+    dtype=np.float32, seed: int = 0,
+) -> sp.csr_matrix:
+    """mouse_gene-like: every row long (hundreds of nnz) — the merge/hash
+    long-row regime at high intermediate-product density."""
+    rng = np.random.default_rng(seed)
+    lo = max(1, int(nnz_per_row * (1 - jitter)))
+    hi = min(n, int(nnz_per_row * (1 + jitter)))
+    lens = rng.integers(lo, hi + 1, size=m)
+    rows = np.repeat(np.arange(m, dtype=np.int64), lens)
+    cols = rng.integers(0, n, size=int(lens.sum()), dtype=np.int64)
+    vals = rng.standard_normal(rows.size).astype(dtype)
+    mat = sp.coo_matrix((vals, (rows, cols)), shape=(m, n)).tocsr()
+    mat.sum_duplicates()
+    mat.sort_indices()
+    return mat
+
+
 SUITE = {
     # name -> factory; stands in for the reference's SuiteSparse suite
     "poisson2d_64": lambda: poisson2d(64),
@@ -101,4 +185,12 @@ SUITE = {
     "er_medium": lambda: erdos_renyi(65536, 65536, 12.0),
     "powerlaw_small": lambda: power_law(4096, 4096, alpha=2.0, max_deg=512),
     "powerlaw_medium": lambda: power_law(65536, 65536, alpha=2.0, max_deg=4096),
+    # reference-suite regime analogues (SURVEY.md §8 matrix list)
+    "stencil27_32": lambda: stencil27(32),          # cant/consph FEM regime
+    "circuit_64k": lambda: circuit(65536),          # scircuit regime
+    "dense_rows_2k": lambda: dense_rows(2048, 2048, nnz_per_row=96),
+    #                                               ^ mouse_gene regime
+    "dense_rows_8k": lambda: dense_rows(8192, 8192, nnz_per_row=384),
+    #                        ^ mouse_gene at scale (~1.2e9 products;
+    #                          out-of-core / batched path only)
 }

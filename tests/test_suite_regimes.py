@@ -1,0 +1,43 @@
+"""New reference-suite regime analogues (stencil27 / circuit / dense_rows)
+stay correct through the auto-dispatched facade and the chunked core."""
+import numpy as np
+import pytest
+
+from benchmark_spgemm_using_csr_tpu import CSR, make_chunked_plan, spgemm, spgemm_chunked
+from benchmark_spgemm_using_csr_tpu.utils import generators
+from benchmark_spgemm_using_csr_tpu.utils.oracle import (
+    assert_csr_equal,
+    spgemm_reference,
+)
+
+CASES = {
+    "stencil27": lambda: generators.stencil27(8),
+    "circuit": lambda: generators.circuit(2048, seed=3),
+    "dense_rows": lambda: generators.dense_rows(256, 256, nnz_per_row=32, seed=1),
+}
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_facade_auto(name):
+    a = CSR.from_scipy(CASES[name]())
+    assert_csr_equal(spgemm(a, a), spgemm_reference(a, a), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_chunked(name):
+    a = CSR.from_scipy(CASES[name]())
+    c = spgemm_chunked(a, a, make_chunked_plan(a, a))
+    assert_csr_equal(c, spgemm_reference(a, a), rtol=1e-4, atol=1e-5)
+
+
+def test_profiles_match_regimes():
+    """Generators hit the row-length regimes they claim (guards the suite's
+    bin coverage story, SURVEY.md §4 stage 2)."""
+    st = generators.stencil27(8)
+    assert int(np.diff(st.indptr).max()) == 27
+    ci = generators.circuit(2048, seed=3)
+    lens = np.diff(ci.indptr)
+    assert np.percentile(lens, 50) <= 8  # short-row bulk
+    assert lens.max() >= 256  # dense rail rows
+    dr = generators.dense_rows(256, 256, nnz_per_row=32, seed=1)
+    assert np.percentile(np.diff(dr.indptr), 10) >= 16  # uniformly long
