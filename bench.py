@@ -121,8 +121,19 @@ def main() -> None:
             kfn = k_loop_chunked(a, plan)
             arg = a
 
-        res_k = bench(lambda: kfn(arg), name=name, warmup=1, runs=3,
-                      flops=flops * K_ITERS)
+        # each run gets distinct value bits: the axon tunnel short-circuits
+        # bitwise-identical re-dispatches without executing them
+        # (utils/timing.py docstring), so repeats of one arg measure nothing
+        if use_bsr:
+            vary = lambda i: (arg + jnp.float32(1e-6) * i,)
+        else:
+            vary = lambda i: (
+                CSR(arg.rowptr, arg.colidx,
+                    arg.vals + jnp.asarray(1e-6 * i, arg.vals.dtype),
+                    arg.shape),
+            )
+        res_k = bench(kfn, name=name, warmup=1, runs=3,
+                      flops=flops * K_ITERS, vary=vary)
         device_s = res_k.mean_s / K_ITERS
 
         # speed-of-light fraction (analytic minimum HBM traffic / measured)

@@ -5,6 +5,13 @@ warmup run then N timed runs, mean time).
 On TPU, correct timing means block_until_ready around the full dispatch
 (compile excluded by the warmup) — the analogue of cudaEventElapsedTime
 around kernel launches.
+
+CRITICAL (axon tunnel): re-dispatching a bitwise-identical (executable,
+args) pair returns "ready" ~instantly WITHOUT re-executing — repeats of
+the same call measure nothing (measured 2026-08-17: identical repeats
+0.03 ms, first actual fetch then stalls for the backlog; novel args block
+properly at the ~26 ms floor). Every timed run must therefore use distinct
+input bits: pass ``vary`` to make per-run args.
 """
 from __future__ import annotations
 
@@ -52,13 +59,24 @@ def bench(
     runs: int = 5,
     flops: int = 0,
     nnz_out: int = 0,
+    vary: Callable[[int], tuple] | None = None,
 ) -> BenchResult:
+    """vary: optional run_index -> args tuple. When given, every warmup and
+    timed run calls ``fn(*vary(i))`` with a fresh, never-repeated index so
+    each dispatch has distinct input bits (defeats the tunnel's
+    identical-dispatch caching — see module docstring). The per-run args
+    are built and blocked OUTSIDE the timed region."""
+    idx = 0
     for _ in range(warmup):
-        _block(fn(*args))
+        run_args = _block(vary(idx)) if vary else args
+        idx += 1
+        _block(fn(*run_args))
     times = []
     for _ in range(runs):
+        run_args = _block(vary(idx)) if vary else args
+        idx += 1
         t0 = time.perf_counter()
-        _block(fn(*args))
+        _block(fn(*run_args))
         times.append(time.perf_counter() - t0)
     return BenchResult(
         name=name,

@@ -50,7 +50,10 @@ def timeit(fn, n=5, warmup=2):
 
 def k_amortized(spgemm_of_a, a, n=3, warmup=1):
     """Device time per pipeline via a K-iteration in-graph scan (bench.py
-    methodology: a runtime-zero nudge chains iterations so XLA can't CSE)."""
+    methodology: a runtime-zero nudge chains iterations so XLA can't CSE).
+    Each outer run gets distinct value bits — the axon tunnel
+    short-circuits bitwise-identical re-dispatches without executing
+    (utils/timing.py docstring)."""
 
     @jax.jit
     def run(a_c):
@@ -62,7 +65,23 @@ def k_amortized(spgemm_of_a, a, n=3, warmup=1):
         _, outs = jax.lax.scan(body, a_c, None, length=K_ITERS)
         return outs
 
-    return timeit(lambda: run(a), n=n, warmup=warmup) / K_ITERS
+    def nudged(i):
+        out = CSR(a.rowptr, a.colidx,
+                  a.vals + jnp.asarray(1e-6 * i, a.vals.dtype), a.shape)
+        return jax.block_until_ready(out)
+
+    idx = 0
+    for _ in range(warmup):
+        jax.block_until_ready(run(nudged(idx)))
+        idx += 1
+    ts = []
+    for _ in range(n):
+        arg = nudged(idx)
+        idx += 1
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(arg))
+        ts.append(time.perf_counter() - t0)
+    return min(ts) / K_ITERS
 
 
 def main():

@@ -34,13 +34,24 @@ K = 8
 INDEX_DTYPE = jnp.int32
 
 
-def timeit(fn, *args, n=3, warmup=1):
+def timeit(fn, a, n=3, warmup=1):
+    # nudge values per run: the axon tunnel short-circuits bitwise-identical
+    # re-dispatches without executing (utils/timing.py docstring)
+    def nudged(i):
+        out = CSR(a.rowptr, a.colidx,
+                  a.vals + jnp.asarray(1e-6 * i, a.vals.dtype), a.shape)
+        return jax.block_until_ready(out)
+
+    idx = 0
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        jax.block_until_ready(fn(nudged(idx)))
+        idx += 1
     ts = []
     for _ in range(n):
+        arg = nudged(idx)
+        idx += 1
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        jax.block_until_ready(fn(arg))
         ts.append(time.perf_counter() - t0)
     return min(ts) / K
 
