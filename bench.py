@@ -66,18 +66,29 @@ def main() -> None:
         "powerlaw_medium": generators.SUITE["powerlaw_medium"],
         "poisson2d_256": generators.SUITE["poisson2d_256"],
         "banded_16k": generators.SUITE["banded_16k"],
+        # reference-suite regime analogues (SURVEY.md §8): FEM / circuit /
+        # dense-row stress
+        "stencil27_32": generators.SUITE["stencil27_32"],
+        "circuit_64k": generators.SUITE["circuit_64k"],
+        "dense_rows_2k": generators.SUITE["dense_rows_2k"],
     }
+
+    from benchmark_spgemm_using_csr_tpu.utils.timing import runtime_zero_probe
 
     def k_loop_chunked(a, plan):
         """K full pipelines in one dispatch; iteration i+1's A values carry
-        a runtime-zero nudge derived from iteration i's output so XLA cannot
-        collapse the scan into one iteration."""
+        a runtime-zero probe of EVERY output array of iteration i, so XLA
+        cannot collapse the scan into one iteration NOR dead-code-eliminate
+        stages (probing only rowptr[-1] silently dropped the compaction
+        sort + run-sum — see utils/timing.runtime_zero_probe)."""
 
         @jax.jit
         def run(a):
             def body(a_c, _):
                 c = spgemm_chunked(a_c, a_c, plan)
-                eps = jnp.minimum(c.rowptr[-1], 0).astype(a_c.vals.dtype)
+                eps = runtime_zero_probe(
+                    c.rowptr, c.colidx, c.vals
+                ).astype(a_c.vals.dtype)
                 a_next = CSR(
                     a_c.rowptr, a_c.colidx, a_c.vals + eps, a_c.shape
                 )
@@ -93,7 +104,9 @@ def main() -> None:
             def body(blocks, _):
                 a_i = BSR(a_b.rowptr, a_b.colidx, blocks, a_b.shape)
                 c = bsr_spgemm(a_i, b_b, bplan)
-                eps = jnp.minimum(c.rowptr[-1], 0).astype(blocks.dtype)
+                eps = runtime_zero_probe(
+                    c.rowptr, c.colidx, c.blocks.reshape(-1)
+                ).astype(blocks.dtype)
                 return blocks + eps, c.rowptr[-1]
             _, outs = jax.lax.scan(body, a_blocks, None, length=K_ITERS)
             return outs

@@ -189,11 +189,7 @@ def _expand_chunks(a: CSR, b: CSR, k: int, chunks_cap: int, b_pack: int = 1):
         a_val = a_val.astype(F32)  # accumulate products in f32
 
     # slice-gather of B's (col, val) per chunk, in TRANSPOSED (k, chunks)
-    # layout: lanes = the big chunk axis, so no intermediate ever carries a
-    # small trailing dim that XLA would pad to 128 lanes. Two separate 1D
-    # gathers beat one packed (capB, 2) gather here — measured 76 -> 53.5 ms
-    # full-pipeline on powerlaw_medium (scripts/micro_tilelayout.py), and
-    # the layout change alone is most of it. Product order comes out
+    # index layout: lanes = the big chunk axis. Product order comes out
     # lane-major (permuted), which is fine: the stream goes straight into a
     # global sort. Advanced-index gather beats vmap(dynamic_slice) 10x on
     # this TPU (scripts/micro_gather.py).
@@ -240,8 +236,29 @@ def _expand_chunks(a: CSR, b: CSR, k: int, chunks_cap: int, b_pack: int = 1):
         # index < capacity, only masked out-of-segment lanes get clamped.
         lane_valid = chunk_valid[None, :] & (lane[:, None] < rem[None, :])
         gidx = jnp.clip(pos[None, :] + lane[:, None], 0, b.capacity - 1)
-        col = b.colidx[gidx].astype(jnp.int32)  # (k, chunks)
-        b_val = b.vals[gidx]
+        pack_vals = b.vals.dtype in (jnp.float32, jnp.bfloat16, jnp.float16)
+        if pack_vals:
+            # ONE (capB, 2) packed gather delivers both fields per
+            # descriptor — honest-probe A/B (scripts/micro_tilelayout.py,
+            # 2026-08-17): packedT 97/194 ms vs two separate 1D gathers
+            # 224/423 ms on powerlaw/er. Values ride as int32 bitcasts
+            # (f32 packing of small ints would denormal-flush to zero).
+            b_packed = jnp.stack(
+                [
+                    b.colidx.astype(jnp.int32),
+                    jax.lax.bitcast_convert_type(
+                        b.vals.astype(F32), jnp.int32
+                    ),
+                ],
+                axis=1,
+            )
+            tile = b_packed[gidx, :]  # (k, chunks, 2)
+            col = tile[:, :, 0]
+            b_val = jax.lax.bitcast_convert_type(tile[:, :, 1], F32)
+        else:
+            # wide dtypes (f64 path): two separate gathers
+            col = b.colidx[gidx].astype(jnp.int32)  # (k, chunks)
+            b_val = b.vals[gidx]
         val = b_val * a_val[None, :]
         row_t = jnp.where(lane_valid, row[None, :], m)
         col_t = jnp.where(lane_valid, col, 0)
@@ -285,13 +302,17 @@ def _rc_pack_bits(m: int, n: int) -> int:
 
 def merge_products(row, col, val, m: int, n: int, out_cap: int,
                    max_run: int = 0, val_dtype=None,
-                   pack: bool | None = None) -> CSR:
+                   pack: bool | None = None, prodstart=None) -> CSR:
     """Stages 3-4 on a flat product stream (row==m marks invalid slots):
     sort by (row, col) → segmented run-sum → sort-based compaction →
-    searchsorted rowptr. Shared by single-chip and distributed paths.
+    rowptr. Shared by single-chip and distributed paths.
 
     pack: force (True) / disable (False) the packed-int32 key fast path;
-    None = auto by whether (m, n) fit in 31 bits."""
+    None = auto by whether (m, n) fit in 31 bits.
+    prodstart: optional (m+1,) cumulative per-row product counts of the
+    stream (prodstart[i] = # valid products with row < i). When given, the
+    rowptr comes from one (m+1)-gather instead of an (m+1)-needle binary
+    search over the sorted stream."""
     val_dtype = val_dtype or val.dtype
     cap = row.shape[0]
     bits = _rc_pack_bits(m, n)
@@ -333,10 +354,17 @@ def merge_products(row, col, val, m: int, n: int, out_cap: int,
     out_val = val_c[:out_cap].astype(val_dtype)
 
     # rowptr from the sorted (pre-compaction) stream: rowptr[i] = number of
-    # unique tails strictly before the first element with row >= i
-    needles = jnp.arange(m + 1, dtype=INDEX_DTYPE)
-    first_ge = jnp.searchsorted(row_sorted, needles, side="left")
+    # unique tails strictly before the first element with row >= i.
     cum_tails = uniq_pos + 1  # inclusive tail count
+    if prodstart is not None:
+        # The sort groups rows in ascending order with invalid slots (row m)
+        # at the tail, so row i's products occupy exactly
+        # [prodstart[i], prodstart[i+1]) — no binary search needed, just one
+        # (m+1)-element gather into the tail-count cumsum.
+        first_ge = jnp.clip(prodstart.astype(INDEX_DTYPE), 0, cap)
+    else:
+        needles = jnp.arange(m + 1, dtype=INDEX_DTYPE)
+        first_ge = jnp.searchsorted(row_sorted, needles, side="left")
     rowptr = jnp.where(
         first_ge > 0,
         cum_tails[jnp.maximum(first_ge - 1, 0)],
@@ -353,6 +381,15 @@ def spgemm_chunked(a: CSR, b: CSR, plan: ChunkedPlan) -> CSR:
     row, col, val = _expand_chunks(
         a, b, plan.k, plan.chunks_cap, b_pack=plan.b_pack
     )
+    # per-row product offsets for the O(1) rowptr derivation (XLA CSEs the
+    # duplicated per_nz computation with _expand_chunks' own)
+    b_len = b.row_lengths().astype(INDEX_DTYPE)
+    a_rows = a.row_ids()
+    per_nz = jnp.where(a_rows < m, b_len[a.colidx], 0).astype(INDEX_DTYPE)
+    cum = jnp.cumsum(per_nz)
+    rp = a.rowptr.astype(INDEX_DTYPE)
+    prodstart = jnp.where(rp > 0, cum[jnp.maximum(rp - 1, 0)], 0)
     return merge_products(
-        row, col, val, m, n, plan.out_cap, plan.max_run, a.vals.dtype
+        row, col, val, m, n, plan.out_cap, plan.max_run, a.vals.dtype,
+        prodstart=prodstart,
     )

@@ -44,6 +44,26 @@ class BenchResult:
         return self.nnz_out / self.mean_s if self.mean_s else 0.0
 
 
+def runtime_zero_probe(*arrays):
+    """Runtime-zero scalar that data-depends on EVERY element of every
+    array, order-dependently. Fold into a benchmark loop's carried state so
+    XLA cannot dead-code-eliminate pipeline stages whose outputs the loop
+    doesn't otherwise consume (e.g. probing only rowptr[-1] of a SpGEMM lets
+    XLA drop the compaction sort and the run-sum entirely — measured).
+    Parity-masked |x| sums are used because a stride-2 slice probe costs
+    more than the pipeline it probes, and sum(sort(x)) may legally fold to
+    sum(x)."""
+    import jax.numpy as jnp
+
+    acc = jnp.zeros((), jnp.float32)
+    for x in arrays:
+        par = (jnp.arange(x.shape[0], dtype=jnp.int32) & 1).astype(jnp.float32)
+        acc = acc + jnp.abs(x.astype(jnp.float32) * par).sum()
+    # acc >= 0 at runtime (or nan); either way the result is zero, but XLA
+    # cannot prove it without computing acc
+    return jnp.where(jnp.isfinite(acc), jnp.minimum(acc, 0.0), 0.0)
+
+
 def _block(tree):
     return jax.tree_util.tree_map(
         lambda x: x.block_until_ready() if hasattr(x, "block_until_ready") else x,

@@ -55,11 +55,17 @@ def k_amortized(spgemm_of_a, a, n=3, warmup=1):
     short-circuits bitwise-identical re-dispatches without executing
     (utils/timing.py docstring)."""
 
+    from benchmark_spgemm_using_csr_tpu.utils.timing import runtime_zero_probe
+
     @jax.jit
     def run(a_c):
         def body(a_i, _):
             c = spgemm_of_a(a_i)
-            eps = jnp.minimum(c.rowptr[-1], 0).astype(a_i.vals.dtype)
+            # probe EVERY output: rowptr[-1] alone lets XLA drop the
+            # compaction sort + run-sum (utils/timing.runtime_zero_probe)
+            eps = runtime_zero_probe(c.rowptr, c.colidx, c.vals).astype(
+                a_i.vals.dtype
+            )
             return CSR(a_i.rowptr, a_i.colidx, a_i.vals + eps, a_i.shape), c.rowptr[-1]
 
         _, outs = jax.lax.scan(body, a_c, None, length=K_ITERS)

@@ -1,6 +1,9 @@
 """A/B the tile-gather layout in the chunked expansion (full pipeline,
 K-amortized device time): packed (chunks,k,2) vs two 1D gathers vs
-transposed (k,chunks) lanes-large layout.
+transposed (k,chunks) lanes-large layout, each honest (runtime_zero_probe
+consumes every output — probing rowptr[-1] alone lets XLA drop the value
+gather, run-sum and compaction sort, which silently skewed the first
+version of this comparison).
     python scripts/micro_tilelayout.py [matrix ...]
 """
 from __future__ import annotations
@@ -98,6 +101,24 @@ def expand_variant(a, b, k, chunks_cap, layout):
         row_t = jnp.where(lane_valid, row[:, None], m)
         col_t = jnp.where(lane_valid, col, 0)
         val_t = jnp.where(lane_valid, val, 0.0)
+    elif layout == "packedT":
+        # one (capB, 2) packed gather, transposed (k, chunks) index layout
+        lane_valid = chunk_valid[None, :] & (lane[:, None] < rem[None, :])
+        b_packed = jnp.stack(
+            [
+                b.colidx.astype(jnp.int32),
+                jax.lax.bitcast_convert_type(b.vals.astype(F32), jnp.int32),
+            ],
+            axis=1,
+        )
+        gidx = jnp.clip(pos[None, :] + lane[:, None], 0, b.capacity - 1)
+        tile = b_packed[gidx, :]  # (k, chunks, 2)
+        col = tile[:, :, 0]
+        b_val = jax.lax.bitcast_convert_type(tile[:, :, 1], F32)
+        val = b_val * a_val[None, :]
+        row_t = jnp.where(lane_valid, row[None, :], m)
+        col_t = jnp.where(lane_valid, col, 0)
+        val_t = jnp.where(lane_valid, val, 0.0)
     elif layout == "two1d":
         lane_valid = chunk_valid[:, None] & (lane[None, :] < rem[:, None])
         gidx = jnp.clip(pos[:, None] + lane[None, :], 0, b.capacity - 1)
@@ -133,7 +154,7 @@ def main():
         plan = make_chunked_plan(a, a)
         golden = spgemm_reference(a, a)
         print(f"\n=== {name}: k={plan.k} chunks_cap={plan.chunks_cap} ===")
-        for layout in ("packed", "two1d", "transposed"):
+        for layout in ("packed", "packedT", "two1d", "transposed"):
 
             def pipeline(a_c, layout=layout):
                 row, col, val = expand_variant(
@@ -151,11 +172,17 @@ def main():
             except AssertionError:
                 ok = False
 
+            from benchmark_spgemm_using_csr_tpu.utils.timing import (
+                runtime_zero_probe,
+            )
+
             @jax.jit
             def krun(a_c, layout=layout):
                 def body(a_i, _):
                     c = pipeline(a_i, layout)
-                    eps = jnp.minimum(c.rowptr[-1], 0).astype(a_i.vals.dtype)
+                    eps = runtime_zero_probe(
+                        c.rowptr, c.colidx, c.vals
+                    ).astype(a_i.vals.dtype)
                     return (
                         CSR(a_i.rowptr, a_i.colidx, a_i.vals + eps, a_i.shape),
                         c.rowptr[-1],

@@ -1,9 +1,16 @@
 """Per-stage device-time breakdown of the chunked-ESC pipeline.
 
 Times cumulative prefixes of the pipeline (expand | +sort1 | +runsum |
-+sort2 | full) with the same K-iteration in-graph scan methodology as
-bench.py (amortizes the ~26 ms axon dispatch floor), then reports the
-successive differences as per-stage costs. Run:
++sort2 | full) with the K-iteration in-graph scan methodology of bench.py
+(amortizes the ~26 ms axon dispatch floor), then reports successive
+differences as per-stage costs.
+
+Measurement traps handled (CLAUDE.md):
+- every outer run gets distinct value bits (tunnel short-circuits identical
+  re-dispatches without executing);
+- each stage probe consumes a strided half of every output array — probing
+  only [-1] lets XLA rewrite sorts into reduce-max, and sum(sort(x)) can
+  legally become sum(x).
     python scripts/profile_chunked.py [matrix ...]
 """
 from __future__ import annotations
@@ -34,9 +41,18 @@ K = 8
 INDEX_DTYPE = jnp.int32
 
 
+def probe(*arrays):
+    """Parity-masked full reduction: order-dependent (sorts can't be elided
+    into plain sums) but contiguous and vectorizable — a stride-2 slice
+    probe was measured to cost MORE than the pipeline it probes."""
+    acc = jnp.zeros((), jnp.float32)
+    for x in arrays:
+        par = (jnp.arange(x.shape[0], dtype=jnp.int32) & 1).astype(jnp.float32)
+        acc = acc + (x.astype(jnp.float32) * par).sum()
+    return acc.astype(jnp.int32)
+
+
 def timeit(fn, a, n=3, warmup=1):
-    # nudge values per run: the axon tunnel short-circuits bitwise-identical
-    # re-dispatches without executing (utils/timing.py docstring)
     def nudged(i):
         out = CSR(a.rowptr, a.colidx,
                   a.vals + jnp.asarray(1e-6 * i, a.vals.dtype), a.shape)
@@ -78,58 +94,67 @@ def profile_matrix(name: str):
     plan = make_chunked_plan(a, a)
     m, n = a.m, a.n
     bits = _rc_pack_bits(m, n)
-    total = int(
-        np.asarray(jax.jit(lambda x: x)(jnp.zeros(())))
-    ) * 0  # touch device once
     print(
         f"\n=== {name}: m={m} k={plan.k} chunks_cap={plan.chunks_cap} "
         f"prod_cap={plan.prod_cap} out_cap={plan.out_cap} "
         f"max_run={plan.max_run} packed_key={bool(bits)} ==="
     )
 
-    def expand_only(a_c):
-        row, col, val = _expand_chunks(a_c, a_c, plan.k, plan.chunks_cap)
-        return row[-1] + col[-1] + val[-1].astype(jnp.int32)
+    def expand(a_c):
+        return _expand_chunks(a_c, a_c, plan.k, plan.chunks_cap)
 
-    def plus_sort1(a_c):
-        row, col, val = _expand_chunks(a_c, a_c, plan.k, plan.chunks_cap)
-        rc = (row.astype(INDEX_DTYPE) << bits) | col.astype(INDEX_DTYPE)
-        rc, val = jax.lax.sort((rc, val), num_keys=1)
-        return rc[-1] + val[-1].astype(jnp.int32)
+    def s_expand(a_c):
+        row, col, val = expand(a_c)
+        return probe(row, col, val)
 
-    def plus_runsum(a_c):
-        row, col, val = _expand_chunks(a_c, a_c, plan.k, plan.chunks_cap)
-        rc = (row.astype(INDEX_DTYPE) << bits) | col.astype(INDEX_DTYPE)
-        rc, val = jax.lax.sort((rc, val), num_keys=1)
-        run_val = _segmented_runsum(rc, rc, val, plan.max_run)
-        return rc[-1] + run_val[-1].astype(jnp.int32)
+    def sorted1(a_c):
+        row, col, val = expand(a_c)
+        if bits:
+            rc = (row.astype(INDEX_DTYPE) << bits) | col.astype(INDEX_DTYPE)
+            rc, val = jax.lax.sort((rc, val), num_keys=1)
+            return (rc, rc, val)  # (row-key, col-key, val) shape-alike
+        row, col, val = jax.lax.sort((row, col, val), num_keys=2)
+        return (row, col, val)
 
-    def plus_sort2(a_c):
+    def s_sort1(a_c):
+        r, c, v = sorted1(a_c)
+        return probe(r, c, v)
+
+    def s_runsum(a_c):
+        r, c, v = sorted1(a_c)
+        run_val = _segmented_runsum(r, c, v, plan.max_run)
+        return probe(r, run_val)
+
+    def s_sort2(a_c):
         cap = plan.prod_cap
-        row, col, val = _expand_chunks(a_c, a_c, plan.k, plan.chunks_cap)
-        rc = (row.astype(INDEX_DTYPE) << bits) | col.astype(INDEX_DTYPE)
-        rc, val = jax.lax.sort((rc, val), num_keys=1)
-        run_val = _segmented_runsum(rc, rc, val, plan.max_run)
-        valid = rc < (m << bits)
-        next_rc = jnp.concatenate([rc[1:], jnp.full((1,), -1, rc.dtype)])
-        is_tail = valid & (rc != next_rc)
+        r, c, v = sorted1(a_c)
+        run_val = _segmented_runsum(r, c, v, plan.max_run)
+        if bits:
+            valid = r < (m << bits)
+            next_r = jnp.concatenate([r[1:], jnp.full((1,), -1, r.dtype)])
+            is_tail = valid & (r != next_r)
+        else:
+            valid = r < m
+            next_r = jnp.concatenate([r[1:], jnp.full((1,), -1, r.dtype)])
+            next_c = jnp.concatenate([c[1:], jnp.full((1,), -1, c.dtype)])
+            is_tail = valid & ((r != next_r) | (c != next_c))
         uniq_pos = jnp.cumsum(is_tail.astype(INDEX_DTYPE)) - 1
         key = jnp.where(is_tail, uniq_pos, cap).astype(INDEX_DTYPE)
-        _, rc_c, val_c = jax.lax.sort((key, rc, run_val), num_keys=1)
-        return rc_c[-1] + val_c[-1].astype(jnp.int32)
+        _, c_c, val_c = jax.lax.sort((key, c, run_val), num_keys=1)
+        return probe(c_c, val_c)
 
-    def full(a_c):
-        row, col, val = _expand_chunks(a_c, a_c, plan.k, plan.chunks_cap)
+    def s_full(a_c):
+        row, col, val = expand(a_c)
         c = merge_products(row, col, val, m, n, plan.out_cap, plan.max_run,
                            a_c.vals.dtype)
-        return c.rowptr[-1]
+        return probe(c.rowptr, c.colidx, c.vals)
 
     stages = [
-        ("expand", expand_only),
-        ("+sort1", plus_sort1),
-        ("+runsum", plus_runsum),
-        ("+sort2", plus_sort2),
-        ("full", full),
+        ("expand", s_expand),
+        ("+sort1", s_sort1),
+        ("+runsum", s_runsum),
+        ("+sort2", s_sort2),
+        ("full", s_full),
     ]
     prev = 0.0
     prev_name = "(zero)"
