@@ -57,6 +57,9 @@ from .symbolic import nnz_upper_bound
 F32 = jnp.float32
 
 
+WIDE_LANES = 128  # one padded-B table row == one VPU lane tile
+
+
 @dataclasses.dataclass(frozen=True)
 class ChunkedPlan:
     """Static capacities for one matrix profile (one host sync to build)."""
@@ -70,10 +73,17 @@ class ChunkedPlan:
     # get padded to (8,128) TPU tiles — a 70x memory blowup that OOMs real
     # chips (measured). Keep 1 on TPU; >1 is only safe on CPU.
     b_pack: int = 1
+    # Wide-row path (the reference's long-row merge-method regime done
+    # TPU-first): A entries whose B row has len >= wide_min expand via
+    # 128-lane ALIGNED gathers from a padded copy of B — ~1 descriptor per
+    # 128 products instead of 1 per product. 0 disables.
+    wide_min: int = 0
+    wchunks_cap: int = 0  # padded count of 128-lane wide chunks
+    bpad_cap: int = 0  # padded-B capacity (multiple of 128)
 
     @property
     def prod_cap(self) -> int:
-        return self.chunks_cap * self.k
+        return self.chunks_cap * self.k + self.wchunks_cap * WIDE_LANES
 
 
 def pad_gentle(n: int, minimum: int = 8) -> int:
@@ -84,24 +94,69 @@ def pad_gentle(n: int, minimum: int = 8) -> int:
     return -(-n >> e) << e
 
 
-def make_chunked_plan(a: CSR, b: CSR, k: int | None = None) -> ChunkedPlan:
+def make_chunked_plan(
+    a: CSR, b: CSR, k: int | None = None, wide_min: int | None = None
+) -> ChunkedPlan:
     nnz_ct = np.asarray(jax.jit(nnz_upper_bound)(a, b))
     b_len = np.diff(np.asarray(b.rowptr))
     nnz_a = int(np.asarray(a.rowptr)[-1])
     total = int(nnz_ct.sum())
-    lens = b_len[np.asarray(a.colidx)[:nnz_a]]
+    lens_all = b_len[np.asarray(a.colidx)[:nnz_a]]
+
+    # Wide-row split: entries with len >= wide_min take the 128-lane aligned
+    # path. Enabled when those entries carry enough products to amortize the
+    # in-graph padded-B build (~2 scatters over nnzB).
+    explicit_wide = wide_min is not None
+    if wide_min is None:
+        wide_min = 96
+    wide_mask = lens_all >= wide_min if wide_min else np.zeros(0, bool)
+    wide_products = int(lens_all[wide_mask].sum()) if wide_min else 0
+    mean_wide_len = wide_products / max(int(wide_mask.sum()), 1)
+    # Auto-gate (interleaved A/B, scripts/ab_wide.py 2026-08-17): wide wins
+    # only when long rows are LONG — repeated gathers of popular mid-length
+    # B rows hit HBM locality and already beat the random-gather wall, so
+    # circuit (mean wide len ~2000, 86% of products) gains ~8% while
+    # powerlaw (mean 346, 47%) loses ~25%. Require dominant share and
+    # strong per-row descriptor amortization.
+    use_wide = (
+        wide_min > 0
+        and wide_products > 0
+        and (
+            explicit_wide
+            or (wide_products >= total * 0.3 and mean_wide_len >= 1024)
+        )
+    )
+    if use_wide:
+        lens_w = lens_all[wide_mask]
+        lens = lens_all[~wide_mask]
+        wchunks = int(np.ceil(lens_w / WIDE_LANES).sum())
+        blen_wide = b_len[b_len >= wide_min]
+        bpad = int((np.ceil(blen_wide / WIDE_LANES) * WIDE_LANES).sum())
+        wchunks_cap = pad_gentle(max(wchunks, 1))
+        bpad_cap = max(
+            -(-pad_gentle(max(bpad, 1)) // WIDE_LANES) * WIDE_LANES,
+            WIDE_LANES,
+        )
+    else:
+        wide_min = 0
+        lens = lens_all
+        wchunks_cap = 0
+        bpad_cap = 0
+
     if k is None:
         # pick k minimizing modeled device time: per padded product (tile
         # gather descriptor + the two sorts + runsum + finish, measured
-        # ~9 ns combined) vs per chunk (three cumsum slots + the a_val
-        # gather + scatter, ~13 ns) — evaluate candidates around the mean
-        # length (k need not be a power of two — advanced indexing)
+        # ~9 ns combined) vs per chunk (four delta-propagation cumsum
+        # slots, ~4 ns now that A values propagate instead of gathering) —
+        # evaluate small k (k=1 has ZERO padding waste: chunk stream ==
+        # product stream) plus candidates around the mean length
         mean_len = max(total / max(nnz_a, 1), 1.0)
         cands = sorted(
-            {int(np.clip(round(mean_len * f), 4, 256)) for f in (0.5, 0.75, 1.0, 1.5, 2.0)}
+            {1, 2}
+            | {int(np.clip(round(mean_len * f), 4, 256)) for f in (0.5, 0.75, 1.0, 1.5, 2.0)}
         )
         if lens.size:
-            w_prod, w_chunk = 9.0, 13.0
+            w_prod, w_chunk = 9.0, 4.0
             costs = [
                 (lambda ch: w_prod * ch * c + w_chunk * ch)(
                     int(np.ceil(lens / c).sum())
@@ -121,6 +176,9 @@ def make_chunked_plan(a: CSR, b: CSR, k: int | None = None) -> ChunkedPlan:
         chunks_cap=pad_gentle(max(chunks, 1)),
         out_cap=pad_gentle(max(min(total, int(np.minimum(nnz_ct, b.n).sum())), 1)),
         max_run=pad_bucket(a_len_max),
+        wide_min=wide_min,
+        wchunks_cap=wchunks_cap,
+        bpad_cap=bpad_cap,
     )
 
 
@@ -142,17 +200,23 @@ def _propagate_entry_consts(starts, deltas_src, chunks_cap: int):
     return outs
 
 
-def _expand_chunks(a: CSR, b: CSR, k: int, chunks_cap: int, b_pack: int = 1):
+def _expand_chunks(
+    a: CSR, b: CSR, k: int, chunks_cap: int, b_pack: int = 1,
+    wide_min: int = 0,
+):
     """Stages 1-2: chunk metadata + slice-gather product expansion.
 
     Returns flat (row, col, val) of shape (chunks_cap * k,); invalid slots
-    carry row == m.
+    carry row == m. wide_min > 0 skips entries whose B row has
+    len >= wide_min (they expand via _expand_wide instead).
     """
     m = a.m
     b_len = b.row_lengths().astype(INDEX_DTYPE)
     a_rows = a.row_ids()
     entry_valid = a_rows < m
     per_nz = jnp.where(entry_valid, b_len[a.colidx], 0).astype(INDEX_DTYPE)
+    if wide_min:
+        per_nz = jnp.where(per_nz >= wide_min, 0, per_nz)
     n_chunks_per = (per_nz + (k - 1)) // k
 
     # ragged chunk -> entry map: scatter 1s at chunk starts, cumsum
@@ -162,9 +226,6 @@ def _expand_chunks(a: CSR, b: CSR, k: int, chunks_cap: int, b_pack: int = 1):
     # unconditional stacked +1 per entry (zero-chunk entries — empty B rows —
     # stack at the same start; cumsum then skips their ids exactly, the same
     # trick as csr.row_ids_from_rowptr)
-    hits = jnp.zeros(chunks_cap, INDEX_DTYPE).at[starts].add(1, mode="drop")
-    src = jnp.cumsum(hits) - 1  # A-entry id per chunk (garbage past total)
-    src = jnp.clip(src, 0, a.capacity - 1)
     c_ids = jnp.arange(chunks_cap, dtype=INDEX_DTYPE)
     chunk_valid = c_ids < total_chunks
 
@@ -173,20 +234,34 @@ def _expand_chunks(a: CSR, b: CSR, k: int, chunks_cap: int, b_pack: int = 1):
     # rem[c] = per_nz[e]  - (c - starts[e])*k = (per_nz  + k*starts)[e] - k*c
     # — both brackets are entry-constant, as is the row id: three int32
     # propagations. (k*starts fits int32 because k*starts <= prod_cap, which
-    # the batched driver bounds well below 2^31.)
+    # the batched driver bounds well below 2^31.) 32-bit A values ride a
+    # FOURTH propagation as bitcast int32 — two's-complement add-deltas wrap
+    # and telescope exactly, so the reconstructed bits are bit-identical and
+    # the per-chunk a_val gather disappears. Wider dtypes (f64) gather.
     b_start = b.rowptr[a.colidx].astype(INDEX_DTYPE)
     q_row = a_rows.astype(INDEX_DTYPE)
     q_posb = b_start - k * starts
     q_remb = per_nz + k * starts
-    row, posb, remb = _propagate_entry_consts(
-        starts, (q_row, q_posb, q_remb), chunks_cap
-    )
+    prop_aval = a.vals.dtype in (jnp.float32, jnp.bfloat16, jnp.float16)
+    if prop_aval:
+        q_aval = jax.lax.bitcast_convert_type(a.vals.astype(F32), jnp.int32)
+        row, posb, remb, aval_bits = _propagate_entry_consts(
+            starts, (q_row, q_posb, q_remb, q_aval), chunks_cap
+        )
+        a_val = jax.lax.bitcast_convert_type(aval_bits, F32)
+    else:
+        row, posb, remb = _propagate_entry_consts(
+            starts, (q_row, q_posb, q_remb), chunks_cap
+        )
+        # chunk -> A-entry id map (scatter 1s at chunk starts, cumsum), only
+        # needed for the wide-dtype value gather
+        hits = jnp.zeros(chunks_cap, INDEX_DTYPE).at[starts].add(
+            1, mode="drop"
+        )
+        src = jnp.clip(jnp.cumsum(hits) - 1, 0, a.capacity - 1)
+        a_val = a.vals[src]
     pos = posb + k * c_ids
     rem = remb - k * c_ids  # per-chunk remaining valid lanes
-    # the only remaining per-chunk gather: A values (narrow 1D, ~240 M/s)
-    a_val = a.vals[src]
-    if a_val.dtype in (jnp.bfloat16, jnp.float16):
-        a_val = a_val.astype(F32)  # accumulate products in f32
 
     # slice-gather of B's (col, val) per chunk, in TRANSPOSED (k, chunks)
     # index layout: lanes = the big chunk axis. Product order comes out
@@ -263,6 +338,100 @@ def _expand_chunks(a: CSR, b: CSR, k: int, chunks_cap: int, b_pack: int = 1):
         row_t = jnp.where(lane_valid, row[None, :], m)
         col_t = jnp.where(lane_valid, col, 0)
         val_t = jnp.where(lane_valid, val, 0.0)
+    return (
+        row_t.reshape(-1).astype(INDEX_DTYPE),
+        col_t.reshape(-1).astype(INDEX_DTYPE),
+        val_t.reshape(-1),
+    )
+
+
+def _expand_wide(a: CSR, b: CSR, wide_min: int, wchunks_cap: int,
+                 bpad_cap: int):
+    """Long-B-row expansion — the reference's merge-method regime, TPU-first.
+
+    Scatter B's long rows once into a 128-lane-ALIGNED padded copy, then
+    fetch each long row's products as whole 128-lane table rows: ~1 gather
+    descriptor per 128 products instead of 1 per product. Wide-row gathers
+    run ~30 M desc/s vs ~125 M for narrow (scripts/micro_rowgather.py), so
+    the net is still ~30x fewer descriptor-nanoseconds; alignment makes the
+    in-kernel realign (the expensive part of generic wide fetches) vanish.
+    Returns a flat (row, col, val) stream of wchunks_cap * 128 slots;
+    invalid slots carry row == m.
+    """
+    m = a.m
+    L = WIDE_LANES
+    nrows_tbl = bpad_cap // L
+
+    # ---- padded-B tables (in-graph: values are runtime data) -------------
+    b_len = b.row_lengths().astype(INDEX_DTYPE)  # (m_b,)
+    ws = jnp.where(b_len >= wide_min, ((b_len + L - 1) // L) * L, 0)
+    pstart = jnp.concatenate(
+        [jnp.zeros((1,), INDEX_DTYPE), jnp.cumsum(ws)]
+    )[:-1]
+    b_rows = b.row_ids()  # (capB,)
+    b_rows_c = jnp.minimum(b_rows, b.m - 1)
+    entry_wide = (b_rows < b.m) & (b_len[b_rows_c] >= wide_min)
+    off = jnp.arange(b.capacity, dtype=INDEX_DTYPE) - b.rowptr[b_rows_c]
+    tgt = jnp.where(entry_wide, pstart[b_rows_c] + off, bpad_cap)
+    tblc = (
+        jnp.zeros(bpad_cap, INDEX_DTYPE)
+        .at[tgt].set(b.colidx.astype(INDEX_DTYPE), mode="drop")
+        .reshape(nrows_tbl, L)
+    )
+    acc_dt = (
+        F32 if b.vals.dtype in (jnp.bfloat16, jnp.float16) else b.vals.dtype
+    )
+    tblv = (
+        jnp.zeros(bpad_cap, acc_dt)
+        .at[tgt].set(b.vals.astype(acc_dt), mode="drop")
+        .reshape(nrows_tbl, L)
+    )
+
+    # ---- wide chunk stream over A entries (same delta-propagation) -------
+    a_rows = a.row_ids()
+    av = a_rows < m
+    per_nz = jnp.where(av, b_len[a.colidx], 0).astype(INDEX_DTYPE)
+    wide_e = av & (per_nz >= wide_min)
+    pn = jnp.where(wide_e, per_nz, 0)
+    n_w = (pn + L - 1) // L
+    wends = jnp.cumsum(n_w)
+    wstarts = wends - n_w
+    wtotal = wends[-1] if a.capacity else jnp.zeros((), INDEX_DTYPE)
+    wc = jnp.arange(wchunks_cap, dtype=INDEX_DTYPE)
+    wvalid = wc < wtotal
+
+    p0 = jnp.where(wide_e, pstart[a.colidx], 0)  # 128-aligned base
+    q_row = a_rows.astype(INDEX_DTYPE)
+    q_posb = p0 - L * wstarts
+    q_remb = pn + L * wstarts
+    prop_aval = a.vals.dtype in (jnp.float32, jnp.bfloat16, jnp.float16)
+    if prop_aval:
+        q_aval = jax.lax.bitcast_convert_type(a.vals.astype(F32), jnp.int32)
+        row, posb, remb, avalb = _propagate_entry_consts(
+            wstarts, (q_row, q_posb, q_remb, q_aval), wchunks_cap
+        )
+        a_val = jax.lax.bitcast_convert_type(avalb, F32)
+    else:
+        row, posb, remb = _propagate_entry_consts(
+            wstarts, (q_row, q_posb, q_remb), wchunks_cap
+        )
+        hits = jnp.zeros(wchunks_cap, INDEX_DTYPE).at[wstarts].add(
+            1, mode="drop"
+        )
+        src = jnp.clip(jnp.cumsum(hits) - 1, 0, a.capacity - 1)
+        a_val = a.vals[src]
+    # posb + L*wc is 128-aligned for valid chunks (pstart and L*wstarts both
+    # are); garbage in invalid slots is clipped then masked
+    trow = jnp.clip((posb + L * wc) // L, 0, nrows_tbl - 1)
+    rem = remb - L * wc
+    lane = jnp.arange(L, dtype=INDEX_DTYPE)
+    lv = wvalid[:, None] & (lane[None, :] < rem[:, None])
+    col = tblc[trow]  # (wchunks_cap, 128) — lane-exact, no padding
+    b_val = tblv[trow]
+    val = b_val * a_val[:, None]
+    row_t = jnp.where(lv, row[:, None], m)
+    col_t = jnp.where(lv, col, 0)
+    val_t = jnp.where(lv, val, 0.0)
     return (
         row_t.reshape(-1).astype(INDEX_DTYPE),
         col_t.reshape(-1).astype(INDEX_DTYPE),
@@ -379,8 +548,16 @@ def spgemm_chunked(a: CSR, b: CSR, plan: ChunkedPlan) -> CSR:
     """C = A @ B, one dispatch, sort-based merge (see module docstring)."""
     m, n = a.m, b.n
     row, col, val = _expand_chunks(
-        a, b, plan.k, plan.chunks_cap, b_pack=plan.b_pack
+        a, b, plan.k, plan.chunks_cap, b_pack=plan.b_pack,
+        wide_min=plan.wide_min,
     )
+    if plan.wide_min:
+        row_w, col_w, val_w = _expand_wide(
+            a, b, plan.wide_min, plan.wchunks_cap, plan.bpad_cap
+        )
+        row = jnp.concatenate([row, row_w])
+        col = jnp.concatenate([col, col_w])
+        val = jnp.concatenate([val, val_w.astype(val.dtype)])
     # per-row product offsets for the O(1) rowptr derivation (XLA CSEs the
     # duplicated per_nz computation with _expand_chunks' own)
     b_len = b.row_lengths().astype(INDEX_DTYPE)
