@@ -28,7 +28,7 @@ from __future__ import annotations
 import json
 import sys
 
-K_ITERS = 4
+K_ITERS = 8  # residual floor bias = ~26 ms / K per pipeline; 8 keeps it <5%
 
 
 def main() -> None:
