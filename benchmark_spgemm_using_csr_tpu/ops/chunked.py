@@ -462,6 +462,40 @@ def _segmented_runsum(row, col, val, max_run: int = 0):
     return run
 
 
+def _shift_compact(kept, disp, arrays):
+    """Stable left-compaction of `kept` elements to their `disp`-displaced
+    targets via log2(cap) conditional shifts — replaces the compaction SORT.
+
+    Correctness: targets (i - disp[i]) are strictly increasing over kept
+    elements, so after processing displacement bits LSB->MSB the partially
+    shifted positions p - (disp & (2^(b+1)-1)) remain strictly increasing
+    at every stage (masked deltas never exceed position deltas when disp is
+    non-decreasing) — no two kept elements ever collide. Slots a kept
+    element vacates retain a stale copy; the kept flag is cleared for
+    movers so stale copies are never consulted. Slots past the compacted
+    prefix end up with garbage, exactly like the sort-based compaction.
+    """
+    cap = disp.shape[0]
+    b, s = 0, 1
+    while s < cap:
+        move = kept & (((disp >> b) & 1) == 1)
+        inc = jnp.concatenate([move[s:], jnp.zeros((s,), jnp.bool_)])
+
+        def shl(x, s=s, inc=inc):
+            return jnp.where(inc, jnp.concatenate([x[s:], x[:s]]), x)
+
+        arrays = [shl(x) for x in arrays]
+        disp = shl(disp)
+        kept = jnp.where(
+            inc,
+            jnp.concatenate([kept[s:], jnp.zeros((s,), jnp.bool_)]),
+            kept & ~move,
+        )
+        s <<= 1
+        b += 1
+    return arrays
+
+
 def _rc_pack_bits(m: int, n: int) -> int:
     """Bits for the packed (row << bits | col) int32 key, or 0 if it
     doesn't fit. Fitting cuts sort operands 3→2 and 4→3 (sorts dominate)."""
@@ -471,7 +505,8 @@ def _rc_pack_bits(m: int, n: int) -> int:
 
 def merge_products(row, col, val, m: int, n: int, out_cap: int,
                    max_run: int = 0, val_dtype=None,
-                   pack: bool | None = None, prodstart=None) -> CSR:
+                   pack: bool | None = None, prodstart=None,
+                   compact: str = "shift") -> CSR:
     """Stages 3-4 on a flat product stream (row==m marks invalid slots):
     sort by (row, col) → segmented run-sum → sort-based compaction →
     rowptr. Shared by single-chip and distributed paths.
@@ -499,8 +534,12 @@ def merge_products(row, col, val, m: int, n: int, out_cap: int,
         is_tail = valid & (rc != next_rc)
         row_sorted = jnp.minimum(rc >> bits, m)
         uniq_pos = jnp.cumsum(is_tail.astype(INDEX_DTYPE)) - 1
-        key = jnp.where(is_tail, uniq_pos, cap).astype(INDEX_DTYPE)
-        _, rc_c, val_c = jax.lax.sort((key, rc, run_val), num_keys=1)
+        if compact == "shift":
+            disp = jnp.arange(cap, dtype=INDEX_DTYPE) - uniq_pos
+            rc_c, val_c = _shift_compact(is_tail, disp, [rc, run_val])
+        else:
+            key = jnp.where(is_tail, uniq_pos, cap).astype(INDEX_DTYPE)
+            _, rc_c, val_c = jax.lax.sort((key, rc, run_val), num_keys=1)
         n_uniq = jnp.sum(is_tail.astype(INDEX_DTYPE))
         col_c = rc_c & ((1 << bits) - 1)
     else:
@@ -513,10 +552,14 @@ def merge_products(row, col, val, m: int, n: int, out_cap: int,
         is_tail = valid & ((row != next_row) | (col != next_col))
         row_sorted = row
         uniq_pos = jnp.cumsum(is_tail.astype(INDEX_DTYPE)) - 1
-        key = jnp.where(is_tail, uniq_pos, cap).astype(INDEX_DTYPE)
         # rowptr is derived from the pre-compaction stream (below), so the
-        # compaction sort does not carry the row array
-        _, col_c, val_c = jax.lax.sort((key, col, run_val), num_keys=1)
+        # compaction does not carry the row array
+        if compact == "shift":
+            disp = jnp.arange(cap, dtype=INDEX_DTYPE) - uniq_pos
+            col_c, val_c = _shift_compact(is_tail, disp, [col, run_val])
+        else:
+            key = jnp.where(is_tail, uniq_pos, cap).astype(INDEX_DTYPE)
+            _, col_c, val_c = jax.lax.sort((key, col, run_val), num_keys=1)
         n_uniq = jnp.sum(is_tail.astype(INDEX_DTYPE))
 
     out_col = col_c[:out_cap].astype(INDEX_DTYPE)
