@@ -21,18 +21,22 @@ Pipeline (all static shapes, one dispatch):
    first chunk, cumsum — because wide-row meta gathers run at only ~30 M
    desc/s on this TPU (scripts/micro_rowgather.py); only a_val takes a
    narrow 1D gather.
-2. **Slice-gather expansion.** Chunk c reads B's packed (colidx, val) pairs
-   at [start_c, start_c + K) via a vmapped dynamic_slice — an XLA gather
-   with slice_sizes=(K, 2). Products = (chunks, K) tile; invalid lanes get
-   sentinel row m.
+2. **Packed-gather expansion.** Chunk c reads B's (colidx, val-bitcast)
+   pairs at [start_c, start_c + K) with ONE packed (capB, 2) advanced-index
+   gather in transposed (k, chunks) index layout (lanes = the big chunk
+   axis). Long B rows (len >= wide_min) instead ride _expand_wide: B is
+   scattered once into a wide_lanes-ALIGNED padded copy and each long row's
+   products arrive as whole table rows (~1 descriptor per wide_lanes
+   products). Invalid lanes get sentinel row m.
 3. **Sort** the flat (row, col, val) product stream by (row, col) — one
-   3-operand 2-key bitonic sort.
-4. **Segmented run-sum** of duplicate (row, col) runs via log2(cap)
-   shift-add passes (Hillis–Steele); run tails hold exact sums.
-5. **Sort-based compaction**: second sort moves run tails (keyed by their
-   unique index) to the front; slice [0:out_cap] is C's value/col stream.
-   rowptr comes from a searchsorted of the compacted row stream (binary
-   search over m+1 needles — tiny).
+   3-operand 2-key bitonic sort (packed single int32 key when (m, n) fit).
+4. **Segmented run-sum** of duplicate (row, col) runs via log-shift
+   shift-add passes (bounded by max A-row nnz); run tails hold exact sums.
+5. **Monotone shift compaction** left-packs run tails in log2(cap)
+   conditional shifts (_shift_compact; the compaction sort remains as
+   compact="sort"); slice [0:out_cap] is C's value/col stream. rowptr is
+   one (m+1)-gather into the tail-count cumsum at the per-row product
+   offsets — the sorted stream groups rows in order, no binary search.
 
 This is the TPU answer to the reference's heap/ESC/merge trio: one
 shape-generic path whose cost is ~2 slice-gathers + 2 sorts over the padded
@@ -78,12 +82,13 @@ class ChunkedPlan:
     # 128-lane ALIGNED gathers from a padded copy of B — ~1 descriptor per
     # 128 products instead of 1 per product. 0 disables.
     wide_min: int = 0
-    wchunks_cap: int = 0  # padded count of 128-lane wide chunks
-    bpad_cap: int = 0  # padded-B capacity (multiple of 128)
+    wchunks_cap: int = 0  # padded count of wide_lanes-wide chunks
+    bpad_cap: int = 0  # padded-B capacity (multiple of wide_lanes)
+    wide_lanes: int = WIDE_LANES  # padded-B table row width
 
     @property
     def prod_cap(self) -> int:
-        return self.chunks_cap * self.k + self.wchunks_cap * WIDE_LANES
+        return self.chunks_cap * self.k + self.wchunks_cap * self.wide_lanes
 
 
 def pad_gentle(n: int, minimum: int = 8) -> int:
@@ -95,7 +100,8 @@ def pad_gentle(n: int, minimum: int = 8) -> int:
 
 
 def make_chunked_plan(
-    a: CSR, b: CSR, k: int | None = None, wide_min: int | None = None
+    a: CSR, b: CSR, k: int | None = None, wide_min: int | None = None,
+    wide_lanes: int = WIDE_LANES,
 ) -> ChunkedPlan:
     nnz_ct = np.asarray(jax.jit(nnz_upper_bound)(a, b))
     b_len = np.diff(np.asarray(b.rowptr))
@@ -129,13 +135,13 @@ def make_chunked_plan(
     if use_wide:
         lens_w = lens_all[wide_mask]
         lens = lens_all[~wide_mask]
-        wchunks = int(np.ceil(lens_w / WIDE_LANES).sum())
+        wchunks = int(np.ceil(lens_w / wide_lanes).sum())
         blen_wide = b_len[b_len >= wide_min]
-        bpad = int((np.ceil(blen_wide / WIDE_LANES) * WIDE_LANES).sum())
+        bpad = int((np.ceil(blen_wide / wide_lanes) * wide_lanes).sum())
         wchunks_cap = pad_gentle(max(wchunks, 1))
         bpad_cap = max(
-            -(-pad_gentle(max(bpad, 1)) // WIDE_LANES) * WIDE_LANES,
-            WIDE_LANES,
+            -(-pad_gentle(max(bpad, 1)) // wide_lanes) * wide_lanes,
+            wide_lanes,
         )
     else:
         wide_min = 0
@@ -179,6 +185,7 @@ def make_chunked_plan(
         wide_min=wide_min,
         wchunks_cap=wchunks_cap,
         bpad_cap=bpad_cap,
+        wide_lanes=wide_lanes,
     )
 
 
@@ -346,7 +353,7 @@ def _expand_chunks(
 
 
 def _expand_wide(a: CSR, b: CSR, wide_min: int, wchunks_cap: int,
-                 bpad_cap: int):
+                 bpad_cap: int, wide_lanes: int = WIDE_LANES):
     """Long-B-row expansion — the reference's merge-method regime, TPU-first.
 
     Scatter B's long rows once into a 128-lane-ALIGNED padded copy, then
@@ -359,7 +366,7 @@ def _expand_wide(a: CSR, b: CSR, wide_min: int, wchunks_cap: int,
     invalid slots carry row == m.
     """
     m = a.m
-    L = WIDE_LANES
+    L = wide_lanes
     nrows_tbl = bpad_cap // L
 
     # ---- padded-B tables (in-graph: values are runtime data) -------------
@@ -496,6 +503,20 @@ def _shift_compact(kept, disp, arrays):
     return arrays
 
 
+def row_product_offsets(a: CSR, b: CSR):
+    """(m+1,) cumulative per-row product counts: offsets[i] = # products
+    with row < i. Feeds merge_products(prodstart=...) for the O(1) rowptr
+    derivation (the sorted stream groups rows in ascending order, so row
+    boundaries are exactly these offsets — no binary search). Inside one
+    jit, XLA CSEs the per_nz computation with the expansion's own."""
+    b_len = b.row_lengths().astype(INDEX_DTYPE)
+    a_rows = a.row_ids()
+    per_nz = jnp.where(a_rows < a.m, b_len[a.colidx], 0).astype(INDEX_DTYPE)
+    cum = jnp.cumsum(per_nz)
+    rp = a.rowptr.astype(INDEX_DTYPE)
+    return jnp.where(rp > 0, cum[jnp.maximum(rp - 1, 0)], 0)
+
+
 def _rc_pack_bits(m: int, n: int) -> int:
     """Bits for the packed (row << bits | col) int32 key, or 0 if it
     doesn't fit. Fitting cuts sort operands 3→2 and 4→3 (sorts dominate)."""
@@ -596,19 +617,13 @@ def spgemm_chunked(a: CSR, b: CSR, plan: ChunkedPlan) -> CSR:
     )
     if plan.wide_min:
         row_w, col_w, val_w = _expand_wide(
-            a, b, plan.wide_min, plan.wchunks_cap, plan.bpad_cap
+            a, b, plan.wide_min, plan.wchunks_cap, plan.bpad_cap,
+            plan.wide_lanes,
         )
         row = jnp.concatenate([row, row_w])
         col = jnp.concatenate([col, col_w])
         val = jnp.concatenate([val, val_w.astype(val.dtype)])
-    # per-row product offsets for the O(1) rowptr derivation (XLA CSEs the
-    # duplicated per_nz computation with _expand_chunks' own)
-    b_len = b.row_lengths().astype(INDEX_DTYPE)
-    a_rows = a.row_ids()
-    per_nz = jnp.where(a_rows < m, b_len[a.colidx], 0).astype(INDEX_DTYPE)
-    cum = jnp.cumsum(per_nz)
-    rp = a.rowptr.astype(INDEX_DTYPE)
-    prodstart = jnp.where(rp > 0, cum[jnp.maximum(rp - 1, 0)], 0)
+    prodstart = row_product_offsets(a, b)
     return merge_products(
         row, col, val, m, n, plan.out_cap, plan.max_run, a.vals.dtype,
         prodstart=prodstart,

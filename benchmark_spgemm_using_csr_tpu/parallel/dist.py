@@ -30,7 +30,12 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..sparse.csr import CSR, INDEX_DTYPE, pad_bucket
-from ..ops.chunked import _expand_chunks, merge_products, pad_gentle
+from ..ops.chunked import (
+    _expand_chunks,
+    merge_products,
+    pad_gentle,
+    row_product_offsets,
+)
 from ..ops.symbolic import products_per_nz
 
 
@@ -123,7 +128,8 @@ def _replicated_exec(mesh, axis, m_loc, kdim, n, chunk_k, chunks_cap, out_cap):
         b_full = CSR(b_rp, b_ci, b_va, (kdim, n))
         row, col, val = _expand_chunks(a_loc, b_full, chunk_k, chunks_cap)
         c_loc = merge_products(row, col, val, m_loc, n, out_cap,
-                               val_dtype=a_va.dtype)
+                               val_dtype=a_va.dtype,
+                               prodstart=row_product_offsets(a_loc, b_full))
         return c_loc.rowptr[None], c_loc.colidx[None], c_loc.vals[None]
 
     return jax.jit(

@@ -36,7 +36,12 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..sparse.csr import CSR, INDEX_DTYPE, pad_bucket
-from ..ops.chunked import _expand_chunks, merge_products, pad_gentle
+from ..ops.chunked import (
+    _expand_chunks,
+    merge_products,
+    pad_gentle,
+    row_product_offsets,
+)
 from .dist import ShardedCSR, shard_rows, unshard
 
 
@@ -269,7 +274,8 @@ def _halo_exec(
         chunks_cap = pad_gentle(prod_cap // chunk_k + a_loc.capacity + 1)
         row, col, val = _expand_chunks(a_loc, b_halo, chunk_k, chunks_cap)
         c_loc = merge_products(
-            row, col, val, m_loc, n, out_cap, val_dtype=a_va.dtype
+            row, col, val, m_loc, n, out_cap, val_dtype=a_va.dtype,
+            prodstart=row_product_offsets(a_loc, b_halo),
         )
         return c_loc.rowptr[None], c_loc.colidx[None], c_loc.vals[None]
 
