@@ -85,6 +85,9 @@ class ChunkedPlan:
     wchunks_cap: int = 0  # padded count of wide_lanes-wide chunks
     bpad_cap: int = 0  # padded-B capacity (multiple of wide_lanes)
     wide_lanes: int = WIDE_LANES  # padded-B table row width
+    # uint32 single-key sort for (m, n) that miss int31 but fit 32 bits;
+    # set only after the host-side sentinel-corner proof (make_chunked_plan)
+    pack_u32: bool = False
 
     @property
     def prod_cap(self) -> int:
@@ -177,6 +180,32 @@ def make_chunked_plan(
     chunks = int(np.ceil(lens / k).sum()) if nnz_a else 0
     # duplicates of one (row, col) are bounded by that A-row's nnz
     a_len_max = int(np.diff(np.asarray(a.rowptr)).max(initial=1))
+
+    # uint32 single-key sort eligibility: (m, n) miss the int31 pack but
+    # fit 32 bits, AND no real product can land on the (m-1, n-1) corner
+    # when that packed key would equal the 0xFFFFFFFF invalid sentinel.
+    pack_u32 = False
+    if _rc_pack_bits(a.m, b.n) == 0 and a.m >= 2 and b.n >= 2:
+        cbits = max(int(b.n - 1).bit_length(), 1)
+        rbits = max(int(a.m - 1).bit_length(), 1)
+        if cbits + rbits <= 32:
+            corner_is_sentinel = (
+                ((a.m - 1) << cbits) | (b.n - 1)
+            ) == (1 << 32) - 1
+            if not corner_is_sentinel:
+                pack_u32 = True
+            else:
+                # does A[m-1, j] exist with (n-1) in B[j]?
+                rp = np.asarray(a.rowptr)
+                last_cols = np.asarray(a.colidx)[rp[a.m - 1]:rp[a.m]]
+                brp = np.asarray(b.rowptr)
+                bci = np.asarray(b.colidx)
+                corner_exists = any(
+                    (bci[brp[j]:brp[j + 1]] == b.n - 1).any()
+                    for j in last_cols
+                )
+                pack_u32 = not corner_exists
+
     return ChunkedPlan(
         k=k,
         chunks_cap=pad_gentle(max(chunks, 1)),
@@ -186,6 +215,7 @@ def make_chunked_plan(
         wchunks_cap=wchunks_cap,
         bpad_cap=bpad_cap,
         wide_lanes=wide_lanes,
+        pack_u32=pack_u32,
     )
 
 
@@ -527,13 +557,18 @@ def _rc_pack_bits(m: int, n: int) -> int:
 def merge_products(row, col, val, m: int, n: int, out_cap: int,
                    max_run: int = 0, val_dtype=None,
                    pack: bool | None = None, prodstart=None,
-                   compact: str = "shift") -> CSR:
+                   compact: str = "shift", pack_u32: bool = False) -> CSR:
     """Stages 3-4 on a flat product stream (row==m marks invalid slots):
     sort by (row, col) → segmented run-sum → sort-based compaction →
     rowptr. Shared by single-chip and distributed paths.
 
     pack: force (True) / disable (False) the packed-int32 key fast path;
     None = auto by whether (m, n) fit in 31 bits.
+    pack_u32: (m, n) fit 32 bits unsigned AND the caller has proven no real
+    product lands on (m-1, n-1) when that key would equal the 0xFFFFFFFF
+    invalid sentinel (ChunkedPlan.pack_u32 does the host-side proof).
+    Cuts the main sort from 3 operands / 2 keys to 2 / 1 for matrices that
+    just miss the int31 pack (e.g. 65536 x 65536).
     prodstart: optional (m+1,) cumulative per-row product counts of the
     stream (prodstart[i] = # valid products with row < i). When given, the
     rowptr comes from one (m+1)-gather instead of an (m+1)-needle binary
@@ -546,7 +581,29 @@ def merge_products(row, col, val, m: int, n: int, out_cap: int,
     elif pack is True and not bits:
         raise ValueError(f"(m={m}, n={n}) does not fit a packed int32 key")
 
-    if bits:
+    if not bits and pack_u32:
+        cbits = max(int(n - 1).bit_length(), 1)
+        u32max = jnp.uint32(0xFFFFFFFF)
+        rc = (row.astype(jnp.uint32) << cbits) | col.astype(jnp.uint32)
+        rc = jnp.where(row >= m, u32max, rc)
+        rc, val = jax.lax.sort((rc, val), num_keys=1)
+        run_val = _segmented_runsum(rc, rc, val, max_run)
+        valid = rc != u32max
+        next_rc = jnp.concatenate([rc[1:], jnp.full((1,), u32max, rc.dtype)])
+        is_tail = valid & (rc != next_rc)
+        row_sorted = jnp.minimum(rc >> cbits, jnp.uint32(m)).astype(
+            INDEX_DTYPE
+        )
+        uniq_pos = jnp.cumsum(is_tail.astype(INDEX_DTYPE)) - 1
+        if compact == "shift":
+            disp = jnp.arange(cap, dtype=INDEX_DTYPE) - uniq_pos
+            rc_c, val_c = _shift_compact(is_tail, disp, [rc, run_val])
+        else:
+            key = jnp.where(is_tail, uniq_pos, cap).astype(INDEX_DTYPE)
+            _, rc_c, val_c = jax.lax.sort((key, rc, run_val), num_keys=1)
+        n_uniq = jnp.sum(is_tail.astype(INDEX_DTYPE))
+        col_c = (rc_c & jnp.uint32((1 << cbits) - 1)).astype(INDEX_DTYPE)
+    elif bits:
         rc = (row.astype(INDEX_DTYPE) << bits) | col.astype(INDEX_DTYPE)
         rc, val = jax.lax.sort((rc, val), num_keys=1)
         run_val = _segmented_runsum(rc, rc, val, max_run)
@@ -626,5 +683,5 @@ def spgemm_chunked(a: CSR, b: CSR, plan: ChunkedPlan) -> CSR:
     prodstart = row_product_offsets(a, b)
     return merge_products(
         row, col, val, m, n, plan.out_cap, plan.max_run, a.vals.dtype,
-        prodstart=prodstart,
+        prodstart=prodstart, pack_u32=plan.pack_u32,
     )
