@@ -19,6 +19,11 @@ class ChipSpec:
     hbm_gbps: float  # HBM bandwidth, GB/s
     peak_f32_tflops: float
     peak_bf16_tflops: float
+    # MEASURED platform limit, not a published spec: XLA random-gather
+    # descriptor rate (~125 M desc/s for narrow packed gathers on this
+    # machine, scripts/micro_rowgather.py) — the actual bound on
+    # gather-based expansion, far below the byte-bandwidth bound.
+    gather_desc_per_s: float = 125e6
 
 
 # TPU v5e (v5-lite) public specs: 819 GB/s HBM BW, 197 bf16 TFLOPs,
@@ -31,12 +36,15 @@ class StageModel:
     name: str
     bytes_moved: float
     flops: float
+    descriptors: float = 0.0  # random-gather descriptors issued
 
     def sol_time_s(self, chip: ChipSpec) -> float:
-        """Speed-of-light time: max of bandwidth and compute bounds."""
+        """Speed-of-light time: max of bandwidth, compute and (measured)
+        gather-descriptor-rate bounds."""
         t_bw = self.bytes_moved / (chip.hbm_gbps * 1e9)
         t_fl = self.flops / (chip.peak_f32_tflops * 1e12)
-        return max(t_bw, t_fl)
+        t_ds = self.descriptors / chip.gather_desc_per_s
+        return max(t_bw, t_fl, t_ds)
 
 
 def spgemm_stage_models(
@@ -65,13 +73,15 @@ def spgemm_stage_models(
             bytes_moved=nnz_a * (index_size + index_size) + m * index_size,
             flops=nnz_a,
         ),
-        # write the (row, col, val) product stream + read A/B operands
+        # write the (row, col, val) product stream + read A/B operands;
+        # one packed-gather descriptor per product (narrow path)
         "expand": StageModel(
             "expand",
             bytes_moved=f * triple
             + nnz_a * (index_size + itemsize)
             + f * (index_size + itemsize),
             flops=f,
+            descriptors=f,
         ),
         "sort": StageModel(
             "sort",
