@@ -182,13 +182,18 @@ def block_density(a: CSR, block_shape=(8, 128)) -> float:
 def bsr_viable(
     a: CSR,
     block_shape=(8, 128),
-    min_density: float = 0.02,
     max_pair_bytes: int = 2 << 30,
+    chunked_ns_per_product: float = 15.0,
+    bsr_ns_per_pair: float = 50.0,
 ) -> bool:
-    """Full dispatch check for C = A @ A: shape divisibility, occupied-block
-    density, AND product-block memory (power-law hubs can pass the density
-    test while the block-pair count explodes). Pure numpy — no scipy BSR
-    conversion (which costs ~25 s on random 1M-nnz matrices)."""
+    """Cost-model dispatch for C = A @ A: shape divisibility, product-block
+    memory, and an honest time comparison — ~15 ns per intermediate product
+    on the chunked sort/gather path vs ~50 ns per (8,128)x(128,128) block
+    pair on the MXU path (both measured 2026-08-17 with the full-output
+    probe; the old 2% block-density heuristic was calibrated against
+    DCE-tainted chunked timings and under-dispatched BSR — poisson2d at
+    0.78% occupancy runs 4x faster on BSR, scripts/ab_bsr_poisson.py).
+    Pure numpy — no scipy BSR conversion (~25 s on random 1M-nnz)."""
     bm, bk = block_shape
     m, n = a.shape
     if m % bm or n % bk or m % bk or n % bk:
@@ -201,14 +206,14 @@ def bsr_viable(
     cols = np.asarray(a.colidx)[:nnz].astype(np.int64)
     nbk = n // bk
 
-    # A's occupied (bm, bk) blocks
+    # A's occupied (bm, bk) blocks; B(==A)'s occupied (bk, bk) block rows
     a_keys = np.unique((rows // bm) * nbk + cols // bk)
-    density = nnz / (a_keys.size * bm * bk)
-    if density < min_density:
-        return False
-
-    # B(==A)'s occupied (bk, bk) blocks per block row
     b_keys = np.unique((rows // bk) * nbk + cols // bk)
     b_blen = np.bincount(b_keys // nbk, minlength=m // bk)
     pairs = int(b_blen[a_keys % nbk].sum())
-    return pairs * bm * bk * 4 <= max_pair_bytes
+    if pairs * bm * bk * 4 > max_pair_bytes:
+        return False
+
+    row_lens = np.diff(rowptr)
+    products = int(row_lens[cols].sum())
+    return pairs * bsr_ns_per_pair < products * chunked_ns_per_product
