@@ -88,6 +88,14 @@ class ChunkedPlan:
     # uint32 single-key sort for (m, n) that miss int31 but fit 32 bits;
     # set only after the host-side sentinel-corner proof (make_chunked_plan)
     pack_u32: bool = False
+    # Static bound on shift-compaction displacement bits. In the sorted
+    # stream invalid slots sort past every valid one, so a kept (run-tail)
+    # element is displaced only by the duplicate (non-tail) slots before it
+    # — at most total_products - nnz(C), which make_chunked_plan computes
+    # EXACTLY via a host-side structural product. log2 of that bounds the
+    # conditional-shift pass count (24 -> ~14 on er-like streams where
+    # squaring creates almost no duplicates). 0 = unbounded (log2(cap)).
+    disp_bits: int = 0
 
     @property
     def prod_cap(self) -> int:
@@ -206,6 +214,19 @@ def make_chunked_plan(
                 )
                 pack_u32 = not corner_exists
 
+    # Exact duplicate count (total products - structural nnzC) bounds the
+    # shift-compaction displacement of every kept element (see
+    # ChunkedPlan.disp_bits). One host-side boolean product; gated by size
+    # so plan building stays sub-second for out-of-core-scale inputs.
+    disp_bits = 0
+    if 0 < total <= (1 << 27):
+        import scipy.sparse as sp
+
+        pat_a = a.to_scipy().astype(bool)
+        pat_b = pat_a if b is a else b.to_scipy().astype(bool)
+        dups = total - int((pat_a @ pat_b).nnz)
+        disp_bits = max(int(dups).bit_length(), 1)
+
     return ChunkedPlan(
         k=k,
         chunks_cap=pad_gentle(max(chunks, 1)),
@@ -216,6 +237,7 @@ def make_chunked_plan(
         bpad_cap=bpad_cap,
         wide_lanes=wide_lanes,
         pack_u32=pack_u32,
+        disp_bits=disp_bits,
     )
 
 
@@ -248,10 +270,18 @@ def _expand_chunks(
     len >= wide_min (they expand via _expand_wide instead).
     """
     m = a.m
-    b_len = b.row_lengths().astype(INDEX_DTYPE)
     a_rows = a.row_ids()
     entry_valid = a_rows < m
-    per_nz = jnp.where(entry_valid, b_len[a.colidx], 0).astype(INDEX_DTYPE)
+    # ONE packed (m_b, 2) rowptr-pair gather per A entry gives b_start AND
+    # the row length (rowptr[j+1]-rowptr[j]) — halves the per-entry
+    # metadata descriptors vs separate b_len / rowptr gathers (gathers are
+    # descriptor-rate-bound at ~138 M desc/s regardless of locality,
+    # scripts/micro_sortedgather.py).
+    rp = b.rowptr.astype(INDEX_DTYPE)
+    rp_pair = jnp.stack([rp[:-1], rp[1:]], axis=1)  # (m_b, 2)
+    pair = rp_pair[a.colidx, :]
+    b_start = pair[:, 0]
+    per_nz = jnp.where(entry_valid, pair[:, 1] - pair[:, 0], 0)
     if wide_min:
         per_nz = jnp.where(per_nz >= wide_min, 0, per_nz)
     n_chunks_per = (per_nz + (k - 1)) // k
@@ -275,7 +305,6 @@ def _expand_chunks(
     # FOURTH propagation as bitcast int32 — two's-complement add-deltas wrap
     # and telescope exactly, so the reconstructed bits are bit-identical and
     # the per-chunk a_val gather disappears. Wider dtypes (f64) gather.
-    b_start = b.rowptr[a.colidx].astype(INDEX_DTYPE)
     q_row = a_rows.astype(INDEX_DTYPE)
     q_posb = b_start - k * starts
     q_remb = per_nz + k * starts
@@ -427,7 +456,12 @@ def _expand_wide(a: CSR, b: CSR, wide_min: int, wchunks_cap: int,
     # ---- wide chunk stream over A entries (same delta-propagation) -------
     a_rows = a.row_ids()
     av = a_rows < m
-    per_nz = jnp.where(av, b_len[a.colidx], 0).astype(INDEX_DTYPE)
+    # written identically to _expand_chunks' rowptr-pair gather so XLA CSEs
+    # the two into one descriptor stream
+    rp = b.rowptr.astype(INDEX_DTYPE)
+    rp_pair = jnp.stack([rp[:-1], rp[1:]], axis=1)
+    pair = rp_pair[a.colidx, :]
+    per_nz = jnp.where(av, pair[:, 1] - pair[:, 0], 0)
     wide_e = av & (per_nz >= wide_min)
     pn = jnp.where(wide_e, per_nz, 0)
     n_w = (pn + L - 1) // L
@@ -499,9 +533,11 @@ def _segmented_runsum(row, col, val, max_run: int = 0):
     return run
 
 
-def _shift_compact(kept, disp, arrays):
+def _shift_compact(kept, disp, arrays, max_bits: int = 0):
     """Stable left-compaction of `kept` elements to their `disp`-displaced
     targets via log2(cap) conditional shifts — replaces the compaction SORT.
+    max_bits > 0 caps the pass count when the caller can prove every kept
+    element's displacement fits that many bits (ChunkedPlan.disp_bits).
 
     Correctness: targets (i - disp[i]) are strictly increasing over kept
     elements, so after processing displacement bits LSB->MSB the partially
@@ -514,7 +550,7 @@ def _shift_compact(kept, disp, arrays):
     """
     cap = disp.shape[0]
     b, s = 0, 1
-    while s < cap:
+    while s < cap and (not max_bits or b < max_bits):
         move = kept & (((disp >> b) & 1) == 1)
         inc = jnp.concatenate([move[s:], jnp.zeros((s,), jnp.bool_)])
 
@@ -538,10 +574,13 @@ def row_product_offsets(a: CSR, b: CSR):
     with row < i. Feeds merge_products(prodstart=...) for the O(1) rowptr
     derivation (the sorted stream groups rows in ascending order, so row
     boundaries are exactly these offsets — no binary search). Inside one
-    jit, XLA CSEs the per_nz computation with the expansion's own."""
-    b_len = b.row_lengths().astype(INDEX_DTYPE)
+    jit, XLA CSEs the per_nz computation with the expansion's own (the
+    rowptr-pair gather below is written identically for that reason)."""
     a_rows = a.row_ids()
-    per_nz = jnp.where(a_rows < a.m, b_len[a.colidx], 0).astype(INDEX_DTYPE)
+    rp = b.rowptr.astype(INDEX_DTYPE)
+    rp_pair = jnp.stack([rp[:-1], rp[1:]], axis=1)
+    pair = rp_pair[a.colidx, :]
+    per_nz = jnp.where(a_rows < a.m, pair[:, 1] - pair[:, 0], 0)
     cum = jnp.cumsum(per_nz)
     rp = a.rowptr.astype(INDEX_DTYPE)
     return jnp.where(rp > 0, cum[jnp.maximum(rp - 1, 0)], 0)
@@ -557,7 +596,8 @@ def _rc_pack_bits(m: int, n: int) -> int:
 def merge_products(row, col, val, m: int, n: int, out_cap: int,
                    max_run: int = 0, val_dtype=None,
                    pack: bool | None = None, prodstart=None,
-                   compact: str = "shift", pack_u32: bool = False) -> CSR:
+                   compact: str = "shift", pack_u32: bool = False,
+                   disp_bits: int = 0) -> CSR:
     """Stages 3-4 on a flat product stream (row==m marks invalid slots):
     sort by (row, col) → segmented run-sum → sort-based compaction →
     rowptr. Shared by single-chip and distributed paths.
@@ -597,7 +637,7 @@ def merge_products(row, col, val, m: int, n: int, out_cap: int,
         uniq_pos = jnp.cumsum(is_tail.astype(INDEX_DTYPE)) - 1
         if compact == "shift":
             disp = jnp.arange(cap, dtype=INDEX_DTYPE) - uniq_pos
-            rc_c, val_c = _shift_compact(is_tail, disp, [rc, run_val])
+            rc_c, val_c = _shift_compact(is_tail, disp, [rc, run_val], disp_bits)
         else:
             key = jnp.where(is_tail, uniq_pos, cap).astype(INDEX_DTYPE)
             _, rc_c, val_c = jax.lax.sort((key, rc, run_val), num_keys=1)
@@ -614,7 +654,7 @@ def merge_products(row, col, val, m: int, n: int, out_cap: int,
         uniq_pos = jnp.cumsum(is_tail.astype(INDEX_DTYPE)) - 1
         if compact == "shift":
             disp = jnp.arange(cap, dtype=INDEX_DTYPE) - uniq_pos
-            rc_c, val_c = _shift_compact(is_tail, disp, [rc, run_val])
+            rc_c, val_c = _shift_compact(is_tail, disp, [rc, run_val], disp_bits)
         else:
             key = jnp.where(is_tail, uniq_pos, cap).astype(INDEX_DTYPE)
             _, rc_c, val_c = jax.lax.sort((key, rc, run_val), num_keys=1)
@@ -634,7 +674,7 @@ def merge_products(row, col, val, m: int, n: int, out_cap: int,
         # compaction does not carry the row array
         if compact == "shift":
             disp = jnp.arange(cap, dtype=INDEX_DTYPE) - uniq_pos
-            col_c, val_c = _shift_compact(is_tail, disp, [col, run_val])
+            col_c, val_c = _shift_compact(is_tail, disp, [col, run_val], disp_bits)
         else:
             key = jnp.where(is_tail, uniq_pos, cap).astype(INDEX_DTYPE)
             _, col_c, val_c = jax.lax.sort((key, col, run_val), num_keys=1)
@@ -684,4 +724,5 @@ def spgemm_chunked(a: CSR, b: CSR, plan: ChunkedPlan) -> CSR:
     return merge_products(
         row, col, val, m, n, plan.out_cap, plan.max_run, a.vals.dtype,
         prodstart=prodstart, pack_u32=plan.pack_u32,
+        disp_bits=plan.disp_bits,
     )

@@ -74,3 +74,33 @@ def test_chunked_empty_rows_mixed():
     plan = make_chunked_plan(a, a)
     c = spgemm_chunked(a, a, plan)
     assert_csr_equal(c, spgemm_reference(a, a), rtol=1e-4, atol=1e-5)
+
+
+def test_disp_bits_bound_high_duplication():
+    """disp_bits (plan-time exact duplicate count) must bound the shift
+    compaction even when nearly every product is a duplicate (poisson
+    squaring collapses ~7x products -> nnzC)."""
+    mat = generators.poisson2d(20)
+    a = CSR.from_scipy(mat)
+    plan = make_chunked_plan(a, a)
+    assert plan.disp_bits > 0  # small matrix: exact bound always computed
+    c = spgemm_chunked(a, a, plan)
+    assert_csr_equal(c, spgemm_reference(a, a))
+
+
+def test_disp_bits_zero_duplicates_minimal_passes():
+    """A permutation-matrix square has zero duplicate products; the exact
+    bound collapses to the 1-pass floor and must still be correct."""
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(3)
+    n = 64
+    perm = rng.permutation(n)
+    mat = sp.csr_matrix(
+        (np.ones(n, np.float32), (np.arange(n), perm)), shape=(n, n)
+    )
+    a = CSR.from_scipy(mat)
+    plan = make_chunked_plan(a, a)
+    assert plan.disp_bits == 1
+    c = spgemm_chunked(a, a, plan)
+    assert_csr_equal(c, spgemm_reference(a, a))
