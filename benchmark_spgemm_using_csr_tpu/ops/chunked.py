@@ -13,14 +13,15 @@ Design driven by microbenchmarks (scripts/micro_bench2.py, TPU v5e via axon):
 
 Pipeline (all static shapes, one dispatch):
 
-1. **Chunk split.** Each A entry (i, j, a_v) contributes len(B_j) products.
-   Split that segment into ceil(len/K) chunks of K: the chunk stream is the
-   ragged dimension, built with one small scatter + cumsum (never
-   searchsorted — measured 80x slower). Per-chunk metadata (row, B-position,
-   remaining-len) is *delta-propagated* — scatter each entry's delta at its
-   first chunk, cumsum — because wide-row meta gathers run at only ~30 M
-   desc/s on this TPU (scripts/micro_rowgather.py); only a_val takes a
-   narrow 1D gather.
+1. **Chunk split.** Each A entry (i, j, a_v) contributes len(B_j) products
+   (b_start and length arrive via ONE packed (m_b, 2) rowptr-pair gather
+   per entry). Split that segment into ceil(len/K) chunks of K: the chunk
+   stream is the ragged dimension, built with one small scatter + cumsum
+   (never searchsorted — measured 80x slower). Per-chunk metadata (row,
+   B-position, remaining-len, f32 a_val bits) is *delta-propagated* —
+   scatter each entry's delta at its first chunk, cumsum — because
+   wide-row meta gathers run at only ~30 M desc/s on this TPU
+   (scripts/micro_rowgather.py).
 2. **Packed-gather expansion.** Chunk c reads B's (colidx, val-bitcast)
    pairs at [start_c, start_c + K) with ONE packed (capB, 2) advanced-index
    gather in transposed (k, chunks) index layout (lanes = the big chunk
@@ -85,9 +86,18 @@ class ChunkedPlan:
     wchunks_cap: int = 0  # padded count of wide_lanes-wide chunks
     bpad_cap: int = 0  # padded-B capacity (multiple of wide_lanes)
     wide_lanes: int = WIDE_LANES  # padded-B table row width
-    # uint32 single-key sort for (m, n) that miss int31 but fit 32 bits;
-    # set only after the host-side sentinel-corner proof (make_chunked_plan)
+    # uint32 single-key sort for (m, n) that miss int31 but fit 32 bits
+    # (a real corner product colliding with the 0xFFFFFFFF sentinel is
+    # handled at runtime by merge_products' corner splice)
     pack_u32: bool = False
+    # Scatter-SET delta propagation (~33% faster than scatter-add on this
+    # TPU: no read-modify-write). Requires collision-free scatter targets,
+    # which make_chunked_plan guarantees by granting every REAL
+    # zero-product entry (empty B row / wide-split) one all-invalid dummy
+    # chunk of k lanes; capacity-padding entries collide only at the
+    # never-valid slot `total`. Enabled only when the dummies stay a small
+    # fraction of the stream, else the colliding-delta ADD scheme is kept.
+    scatter_set: bool = False
     # Static bound on shift-compaction displacement bits. In the sorted
     # stream invalid slots sort past every valid one, so a kept (run-tail)
     # element is displaced only by the duplicate (non-tail) slots before it
@@ -186,6 +196,14 @@ def make_chunked_plan(
     k = min(k, b.capacity)
     # chunks: per A entry ceil(len(B_col)/K); bound via per-row sums
     chunks = int(np.ceil(lens / k).sum()) if nnz_a else 0
+    # scatter-SET propagation needs every entry (incl. capacity padding) to
+    # own >= 1 chunk; enable when those dummy chunks stay a small fraction
+    n_zero_len = int((lens == 0).sum()) if nnz_a else 0
+    n_wide_e = int(wide_mask.sum()) if wide_min else 0
+    extra_chunks = n_zero_len + n_wide_e  # capacity padding needs no dummy
+    scatter_set = extra_chunks <= max(chunks // 16, 64)
+    if scatter_set:
+        chunks += extra_chunks
     # duplicates of one (row, col) are bounded by that A-row's nnz
     a_len_max = int(np.diff(np.asarray(a.rowptr)).max(initial=1))
 
@@ -196,23 +214,12 @@ def make_chunked_plan(
     if _rc_pack_bits(a.m, b.n) == 0 and a.m >= 2 and b.n >= 2:
         cbits = max(int(b.n - 1).bit_length(), 1)
         rbits = max(int(a.m - 1).bit_length(), 1)
-        if cbits + rbits <= 32:
-            corner_is_sentinel = (
-                ((a.m - 1) << cbits) | (b.n - 1)
-            ) == (1 << 32) - 1
-            if not corner_is_sentinel:
-                pack_u32 = True
-            else:
-                # does A[m-1, j] exist with (n-1) in B[j]?
-                rp = np.asarray(a.rowptr)
-                last_cols = np.asarray(a.colidx)[rp[a.m - 1]:rp[a.m]]
-                brp = np.asarray(b.rowptr)
-                bci = np.asarray(b.colidx)
-                corner_exists = any(
-                    (bci[brp[j]:brp[j + 1]] == b.n - 1).any()
-                    for j in last_cols
-                )
-                pack_u32 = not corner_exists
+        # Always eligible when (row, col) fit 32 bits: a real (m-1, n-1)
+        # product whose key equals the 0xFFFFFFFF sentinel is handled at
+        # runtime by merge_products' corner splice (masked direct
+        # reduction pre-sort, O(1) re-insertion post-compaction), so no
+        # host-side corner-existence proof is needed.
+        pack_u32 = cbits + rbits <= 32
 
     # Exact duplicate count (total products - structural nnzC) bounds the
     # shift-compaction displacement of every kept element (see
@@ -237,31 +244,42 @@ def make_chunked_plan(
         bpad_cap=bpad_cap,
         wide_lanes=wide_lanes,
         pack_u32=pack_u32,
+        scatter_set=scatter_set,
         disp_bits=disp_bits,
     )
 
 
-def _propagate_entry_consts(starts, deltas_src, chunks_cap: int):
+def _propagate_entry_consts(starts, deltas_src, chunks_cap: int,
+                            use_set: bool = False):
     """Broadcast per-entry int32 constants onto the chunk stream WITHOUT a
-    per-chunk gather: scatter-add each entry's *delta vs the previous entry*
+    per-chunk gather: scatter each entry's *delta vs the previous entry*
     at its first chunk, then cumsum. Values telescope exactly (int32), and
     entries with zero chunks collide additively at the next entry's start —
     their deltas sum to the correct skip. Measured ~3x faster than the
     packed (capA, 4) row gather it replaces: wide-row gathers run at only
     ~30 M desc/s on this TPU (scripts/micro_rowgather.py) while the scatter
     is one descriptor per A entry and cumsum is bandwidth-cheap.
+
+    use_set: scatter-SET instead of scatter-add — ~33% faster on this TPU
+    (no read-modify-write; meta stage 49 -> 33 ms on er). ONLY valid when
+    `starts` is strictly increasing, i.e. every entry owns >= 1 chunk
+    (ChunkedPlan.scatter_set guarantees this via dummy chunks).
     """
     outs = []
     for q in deltas_src:
         d = q - jnp.concatenate([jnp.zeros((1,), q.dtype), q[:-1]])
-        acc = jnp.zeros(chunks_cap, q.dtype).at[starts].add(d, mode="drop")
+        ref = jnp.zeros(chunks_cap, q.dtype)
+        if use_set:
+            acc = ref.at[starts].set(d, mode="drop")
+        else:
+            acc = ref.at[starts].add(d, mode="drop")
         outs.append(jnp.cumsum(acc))
     return outs
 
 
 def _expand_chunks(
     a: CSR, b: CSR, k: int, chunks_cap: int, b_pack: int = 1,
-    wide_min: int = 0,
+    wide_min: int = 0, scatter_set: bool = False,
 ):
     """Stages 1-2: chunk metadata + slice-gather product expansion.
 
@@ -285,6 +303,16 @@ def _expand_chunks(
     if wide_min:
         per_nz = jnp.where(per_nz >= wide_min, 0, per_nz)
     n_chunks_per = (per_nz + (k - 1)) // k
+    if scatter_set:
+        # every REAL entry owns >= 1 chunk -> real starts are strictly
+        # increasing -> scatter-SET propagation is collision-free (plan
+        # guarantees the dummy-chunk overhead is small). Capacity-padding
+        # entries keep 0 chunks: they collide only at slot `total`, which
+        # is never a valid chunk, so their lost deltas touch only the
+        # masked tail.
+        n_chunks_per = jnp.where(
+            entry_valid, jnp.maximum(n_chunks_per, 1), 0
+        )
 
     # ragged chunk -> entry map: scatter 1s at chunk starts, cumsum
     ends = jnp.cumsum(n_chunks_per)
@@ -312,12 +340,14 @@ def _expand_chunks(
     if prop_aval:
         q_aval = jax.lax.bitcast_convert_type(a.vals.astype(F32), jnp.int32)
         row, posb, remb, aval_bits = _propagate_entry_consts(
-            starts, (q_row, q_posb, q_remb, q_aval), chunks_cap
+            starts, (q_row, q_posb, q_remb, q_aval), chunks_cap,
+            use_set=scatter_set,
         )
         a_val = jax.lax.bitcast_convert_type(aval_bits, F32)
     else:
         row, posb, remb = _propagate_entry_consts(
-            starts, (q_row, q_posb, q_remb), chunks_cap
+            starts, (q_row, q_posb, q_remb), chunks_cap,
+            use_set=scatter_set,
         )
         # chunk -> A-entry id map (scatter 1s at chunk starts, cumsum), only
         # needed for the wide-dtype value gather
@@ -604,9 +634,9 @@ def merge_products(row, col, val, m: int, n: int, out_cap: int,
 
     pack: force (True) / disable (False) the packed-int32 key fast path;
     None = auto by whether (m, n) fit in 31 bits.
-    pack_u32: (m, n) fit 32 bits unsigned AND the caller has proven no real
-    product lands on (m-1, n-1) when that key would equal the 0xFFFFFFFF
-    invalid sentinel (ChunkedPlan.pack_u32 does the host-side proof).
+    pack_u32: (m, n) fit 32 bits unsigned. A real (m-1, n-1) product whose
+    key equals the 0xFFFFFFFF invalid sentinel is reduced directly before
+    the sort and spliced back after compaction (corner splice below).
     Cuts the main sort from 3 operands / 2 keys to 2 / 1 for matrices that
     just miss the int31 pack (e.g. 65536 x 65536).
     prodstart: optional (m+1,) cumulative per-row product counts of the
@@ -621,11 +651,25 @@ def merge_products(row, col, val, m: int, n: int, out_cap: int,
     elif pack is True and not bits:
         raise ValueError(f"(m={m}, n={n}) does not fit a packed int32 key")
 
+    corner_cnt = corner_sum = None
     if not bits and pack_u32:
         cbits = max(int(n - 1).bit_length(), 1)
         u32max = jnp.uint32(0xFFFFFFFF)
         rc = (row.astype(jnp.uint32) << cbits) | col.astype(jnp.uint32)
         rc = jnp.where(row >= m, u32max, rc)
+        if (((m - 1) << cbits) | (n - 1)) == (1 << 32) - 1:
+            # Corner splice: a real (m-1, n-1) product keys to the invalid
+            # sentinel. Its duplicates could interleave with the (huge)
+            # padding run after the sort, breaking the max_run-bounded
+            # runsum — so reduce corner products DIRECTLY pre-sort (one
+            # masked reduction), demote their slots to padding (val 0),
+            # and re-insert the single corner entry after compaction.
+            corner_mask = (row < m) & (rc == u32max)
+            corner_cnt = jnp.sum(corner_mask.astype(INDEX_DTYPE))
+            corner_sum = jnp.sum(
+                jnp.where(corner_mask, val, jnp.zeros((), val.dtype))
+            )
+            val = jnp.where(corner_mask, jnp.zeros((), val.dtype), val)
         rc, val = jax.lax.sort((rc, val), num_keys=1)
         run_val = _segmented_runsum(rc, rc, val, max_run)
         valid = rc != u32max
@@ -682,6 +726,19 @@ def merge_products(row, col, val, m: int, n: int, out_cap: int,
 
     out_col = col_c[:out_cap].astype(INDEX_DTYPE)
     out_val = val_c[:out_cap].astype(val_dtype)
+    if corner_cnt is not None:
+        # splice the (m-1, n-1) entry back in: globally the largest key, so
+        # it belongs at position n_uniq (end of the compacted stream); when
+        # it exists, n_uniq < nnzC <= out_cap so the slot is in range
+        has_corner = (corner_cnt > 0).astype(INDEX_DTYPE)
+        idx = jnp.minimum(n_uniq, out_cap - 1)
+        out_col = out_col.at[idx].set(
+            jnp.where(corner_cnt > 0, n - 1, out_col[idx])
+        )
+        out_val = out_val.at[idx].set(
+            jnp.where(corner_cnt > 0, corner_sum.astype(val_dtype),
+                      out_val[idx])
+        )
 
     # rowptr from the sorted (pre-compaction) stream: rowptr[i] = number of
     # unique tails strictly before the first element with row >= i.
@@ -701,6 +758,10 @@ def merge_products(row, col, val, m: int, n: int, out_cap: int,
         0,
     ).astype(INDEX_DTYPE)
     rowptr = jnp.minimum(rowptr, n_uniq)
+    if corner_cnt is not None:
+        # cum_tails excluded the corner run (its slots are sentinel-keyed);
+        # only rowptr[m] — the total unique count — needs the correction
+        rowptr = rowptr.at[-1].set(n_uniq + has_corner)
     return CSR(rowptr=rowptr, colidx=out_col, vals=out_val, shape=(m, n))
 
 
@@ -710,7 +771,7 @@ def spgemm_chunked(a: CSR, b: CSR, plan: ChunkedPlan) -> CSR:
     m, n = a.m, b.n
     row, col, val = _expand_chunks(
         a, b, plan.k, plan.chunks_cap, b_pack=plan.b_pack,
-        wide_min=plan.wide_min,
+        wide_min=plan.wide_min, scatter_set=plan.scatter_set,
     )
     if plan.wide_min:
         row_w, col_w, val_w = _expand_wide(

@@ -44,11 +44,11 @@ def main():
 
     sets = [mk(s) for s in range(6)]
 
+    from benchmark_spgemm_using_csr_tpu.utils.timing import runtime_zero_probe
+
     def probe(*arrs):
-        acc = jnp.zeros((), jnp.int32)
-        for x in arrs:
-            acc = acc + x.sum()
-        return acc
+        # parity-masked: plain sum(scatter/cumsum) folds algebraically
+        return runtime_zero_probe(*[x.reshape(-1) for x in arrs])
 
     # a) 4 separate 1D scatter-adds + cumsum each (current implementation)
     @jax.jit

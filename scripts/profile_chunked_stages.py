@@ -72,8 +72,85 @@ def _sorted_stream(a, b, plan):
     return (row << 1) ^ col, val  # probe carrier only
 
 
+def _meta_only(a, b, plan, prop="real"):
+    """Chunk metadata propagations + masks, WITHOUT the packed-B gather.
+
+    prop: "real" = scatter+cumsum delta propagation (production);
+    "fake" = same-shaped elementwise junk (isolates scatter+cumsum cost);
+    "fused2d" = one (4, cap) scatter along axis 1 + lane-axis cumsums.
+    """
+    import benchmark_spgemm_using_csr_tpu.ops.chunked as ch
+
+    k, chunks_cap = plan.k, plan.chunks_cap
+    m = a.m
+    a_rows = a.row_ids()
+    entry_valid = a_rows < m
+    rp = b.rowptr.astype(jnp.int32)
+    rp_pair = jnp.stack([rp[:-1], rp[1:]], axis=1)
+    pair = rp_pair[a.colidx, :]
+    b_start = pair[:, 0]
+    per_nz = jnp.where(entry_valid, pair[:, 1] - pair[:, 0], 0)
+    n_chunks_per = (per_nz + (k - 1)) // k
+    ends = jnp.cumsum(n_chunks_per)
+    starts = ends - n_chunks_per
+    total_chunks = ends[-1]
+    c_ids = jnp.arange(chunks_cap, dtype=jnp.int32)
+    chunk_valid = c_ids < total_chunks
+    q_row = a_rows.astype(jnp.int32)
+    q_posb = b_start - k * starts
+    q_remb = per_nz + k * starts
+    q_aval = jax.lax.bitcast_convert_type(a.vals.astype(jnp.float32), jnp.int32)
+    if prop == "fake":
+        # same shapes/dtypes, no scatter/cumsum; junk values (gidx is
+        # clipped so the downstream gather stays in-range)
+        s0 = q_row[0] + q_posb[-1] + q_remb[0] + q_aval[-1]
+        row = (c_ids * 3 + s0) % jnp.int32(max(a.m, 1))
+        posb = (c_ids * 5 + s0) % jnp.int32(b.capacity)
+        remb = (c_ids * 7 + s0) % jnp.int32(64)
+        aval_bits = c_ids ^ s0
+    elif prop == "set":
+        # scatter-SET timing probe: correct only when no two entries share
+        # a start (i.e. no empty B rows); here timing-only
+        outs = []
+        for q in (q_row, q_posb, q_remb, q_aval):
+            d = q - jnp.concatenate([jnp.zeros((1,), q.dtype), q[:-1]])
+            acc = jnp.zeros(chunks_cap, q.dtype).at[starts].set(d, mode="drop")
+            outs.append(jnp.cumsum(acc))
+        row, posb, remb, aval_bits = outs
+    elif prop == "fused2d":
+        deltas = []
+        for q in (q_row, q_posb, q_remb, q_aval):
+            deltas.append(q - jnp.concatenate([jnp.zeros((1,), q.dtype), q[:-1]]))
+        acc = jnp.zeros((4, chunks_cap), jnp.int32).at[:, starts].add(
+            jnp.stack(deltas), mode="drop"
+        )
+        c4 = jnp.cumsum(acc, axis=1)
+        row, posb, remb, aval_bits = c4[0], c4[1], c4[2], c4[3]
+    else:
+        row, posb, remb, aval_bits = ch._propagate_entry_consts(
+            starts, (q_row, q_posb, q_remb, q_aval), chunks_cap
+        )
+    pos = posb + k * c_ids
+    rem = remb - k * c_ids
+    lane = jnp.arange(k, dtype=jnp.int32)
+    lane_valid = chunk_valid[None, :] & (lane[:, None] < rem[None, :])
+    gidx = jnp.clip(pos[None, :] + lane[:, None], 0, b.capacity - 1)
+    return (
+        row, aval_bits, gidx.reshape(-1),
+        lane_valid.reshape(-1).astype(jnp.int32),
+    )
+
+
 def stage_fn(stage, plan):
     def run(a, b):
+        if stage == "meta":
+            return runtime_zero_probe(*_meta_only(a, b, plan))
+        if stage == "meta_fake":
+            return runtime_zero_probe(*_meta_only(a, b, plan, prop="fake"))
+        if stage == "meta_f2d":
+            return runtime_zero_probe(*_meta_only(a, b, plan, prop="fused2d"))
+        if stage == "meta_set":
+            return runtime_zero_probe(*_meta_only(a, b, plan, prop="set"))
         if stage == "expand":
             row, col, val = _expand(a, b, plan)
             return runtime_zero_probe(row, col, val)
@@ -127,8 +204,15 @@ def timeit(fn, a, n=3, warmup=1):
     return min(ts) / K_ITERS
 
 
+STAGES = ("meta", "expand", "sort", "runsum", "full")
+
+
 def main():
-    names = sys.argv[1:] or ["er_medium"]
+    global STAGES
+    names = [x for x in sys.argv[1:] if not x.startswith("--")] or ["er_medium"]
+    for arg in sys.argv[1:]:
+        if arg.startswith("--stages="):
+            STAGES = tuple(arg.split("=", 1)[1].split(","))
     print("backend:", jax.devices())
     for name in names:
         a = CSR.from_scipy(generators.SUITE[name]())
@@ -138,7 +222,7 @@ def main():
               f"max_run={plan.max_run} wide_min={plan.wide_min} "
               f"pack_u32={plan.pack_u32}")
         prev = 0.0
-        for stage in ("expand", "sort", "runsum", "full"):
+        for stage in STAGES:
             t = timeit(stage_fn(stage, plan), a)
             print(f"  {stage:8s} cum {t*1e3:8.2f} ms   delta {(t-prev)*1e3:8.2f} ms")
             prev = t

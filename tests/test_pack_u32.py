@@ -33,10 +33,11 @@ def test_u32_enabled_and_correct():
     )
 
 
-def test_u32_disabled_when_corner_product_exists():
+def test_u32_corner_splice():
     """A[m-1, 0] exists and B row 0 contains col n-1: the (m-1, n-1) product
-    key would collide with the invalid sentinel, so the plan must fall back
-    to the 2-key sort — and still be correct."""
+    key collides with the invalid sentinel. pack_u32 stays ENABLED; the
+    corner splice reduces those products pre-sort and re-inserts the entry
+    post-compaction."""
     rng = np.random.default_rng(1)
     r = np.concatenate([[M - 1], [0], rng.integers(0, M, 500)])
     c = np.concatenate([[0], [M - 1], rng.integers(0, M - 2, 500)])
@@ -45,12 +46,36 @@ def test_u32_disabled_when_corner_product_exists():
     a_sp.sum_duplicates()
     a = CSR.from_scipy(a_sp)
     plan = make_chunked_plan(a, a)
-    assert not plan.pack_u32
+    assert plan.pack_u32
     c_out = spgemm_chunked(a, a, plan)
     assert_csr_equal(c_out, spgemm_reference(a, a), rtol=1e-4, atol=1e-5)
     # the corner product (m-1, n-1) must be present and correct
     golden = spgemm_reference(a, a).tocsr()
     assert golden[M - 1, M - 1] != 0
+
+
+def test_u32_corner_splice_duplicate_corner_products():
+    """Multiple A[m-1, :] entries hitting (m-1, n-1) — the corner run-sum
+    must add them all, and the last row's other products must survive."""
+    rng = np.random.default_rng(4)
+    # last row of A has entries in cols {0, 1, 2}; B rows 0,1,2 all contain
+    # col n-1 -> three corner products to merge, plus ordinary products
+    r = np.concatenate([[M - 1, M - 1, M - 1], rng.integers(0, M - 1, 400)])
+    c = np.concatenate([[0, 1, 2], rng.integers(0, M - 2, 400)])
+    extra_r = np.array([0, 1, 2, 0, 1])
+    extra_c = np.array([M - 1, M - 1, M - 1, 5, 7])
+    r = np.concatenate([r, extra_r])
+    c = np.concatenate([c, extra_c])
+    v = rng.standard_normal(r.size).astype(np.float32)
+    a_sp = sp.coo_matrix((v, (r, c)), shape=(M, M)).tocsr()
+    a_sp.sum_duplicates()
+    a = CSR.from_scipy(a_sp)
+    plan = make_chunked_plan(a, a)
+    assert plan.pack_u32
+    assert_csr_equal(
+        spgemm_chunked(a, a, plan), spgemm_reference(a, a),
+        rtol=1e-4, atol=1e-5,
+    )
 
 
 def test_u32_sort_fallback_compact():
