@@ -324,29 +324,40 @@ def _expand_chunks(
     c_ids = jnp.arange(chunks_cap, dtype=INDEX_DTYPE)
     chunk_valid = c_ids < total_chunks
 
-    # Per-chunk metadata via delta-propagation (no wide meta gather):
+    # Row ids via ROW-granularity propagation: entries are row-ordered, so
+    # chunks of row i occupy [chunk_start(i), chunk_start(i+1)) and one
+    # m-sized scatter (+1 at each row's first chunk; empty rows stack
+    # additively, the usual trick) replaces the nnzA-sized q_row delta
+    # propagation — ~9x fewer scatter descriptors for that operand.
+    arp = a.rowptr.astype(INDEX_DTYPE)
+    row_chunk_start = jnp.where(arp > 0, ends[jnp.maximum(arp - 1, 0)], 0)
+    hits_r = jnp.zeros(chunks_cap, INDEX_DTYPE).at[row_chunk_start[1:]].add(
+        1, mode="drop"
+    )
+    row = jnp.cumsum(hits_r)
+
+    # Remaining per-chunk metadata via entry-delta propagation:
     # pos[c] = b_start[e] + (c - starts[e])*k = (b_start - k*starts)[e] + k*c
     # rem[c] = per_nz[e]  - (c - starts[e])*k = (per_nz  + k*starts)[e] - k*c
-    # — both brackets are entry-constant, as is the row id: three int32
-    # propagations. (k*starts fits int32 because k*starts <= prod_cap, which
-    # the batched driver bounds well below 2^31.) 32-bit A values ride a
-    # FOURTH propagation as bitcast int32 — two's-complement add-deltas wrap
-    # and telescope exactly, so the reconstructed bits are bit-identical and
+    # — both brackets are entry-constant: two int32 propagations.
+    # (k*starts fits int32 because k*starts <= prod_cap, which the batched
+    # driver bounds well below 2^31.) 32-bit A values ride a THIRD
+    # propagation as bitcast int32 — two's-complement add-deltas wrap and
+    # telescope exactly, so the reconstructed bits are bit-identical and
     # the per-chunk a_val gather disappears. Wider dtypes (f64) gather.
-    q_row = a_rows.astype(INDEX_DTYPE)
     q_posb = b_start - k * starts
     q_remb = per_nz + k * starts
     prop_aval = a.vals.dtype in (jnp.float32, jnp.bfloat16, jnp.float16)
     if prop_aval:
         q_aval = jax.lax.bitcast_convert_type(a.vals.astype(F32), jnp.int32)
-        row, posb, remb, aval_bits = _propagate_entry_consts(
-            starts, (q_row, q_posb, q_remb, q_aval), chunks_cap,
+        posb, remb, aval_bits = _propagate_entry_consts(
+            starts, (q_posb, q_remb, q_aval), chunks_cap,
             use_set=scatter_set,
         )
         a_val = jax.lax.bitcast_convert_type(aval_bits, F32)
     else:
-        row, posb, remb = _propagate_entry_consts(
-            starts, (q_row, q_posb, q_remb), chunks_cap,
+        posb, remb = _propagate_entry_consts(
+            starts, (q_posb, q_remb), chunks_cap,
             use_set=scatter_set,
         )
         # chunk -> A-entry id map (scatter 1s at chunk starts, cumsum), only
@@ -502,19 +513,26 @@ def _expand_wide(a: CSR, b: CSR, wide_min: int, wchunks_cap: int,
     wvalid = wc < wtotal
 
     p0 = jnp.where(wide_e, pstart[a.colidx], 0)  # 128-aligned base
-    q_row = a_rows.astype(INDEX_DTYPE)
+    # row ids via row-granularity scatter (entries are row-ordered, so a
+    # row's wide chunks are contiguous) — m descriptors instead of nnzA
+    arp = a.rowptr.astype(INDEX_DTYPE)
+    row_wstart = jnp.where(arp > 0, wends[jnp.maximum(arp - 1, 0)], 0)
+    hits_r = jnp.zeros(wchunks_cap, INDEX_DTYPE).at[row_wstart[1:]].add(
+        1, mode="drop"
+    )
+    row = jnp.cumsum(hits_r)
     q_posb = p0 - L * wstarts
     q_remb = pn + L * wstarts
     prop_aval = a.vals.dtype in (jnp.float32, jnp.bfloat16, jnp.float16)
     if prop_aval:
         q_aval = jax.lax.bitcast_convert_type(a.vals.astype(F32), jnp.int32)
-        row, posb, remb, avalb = _propagate_entry_consts(
-            wstarts, (q_row, q_posb, q_remb, q_aval), wchunks_cap
+        posb, remb, avalb = _propagate_entry_consts(
+            wstarts, (q_posb, q_remb, q_aval), wchunks_cap
         )
         a_val = jax.lax.bitcast_convert_type(avalb, F32)
     else:
-        row, posb, remb = _propagate_entry_consts(
-            wstarts, (q_row, q_posb, q_remb), wchunks_cap
+        posb, remb = _propagate_entry_consts(
+            wstarts, (q_posb, q_remb), wchunks_cap
         )
         hits = jnp.zeros(wchunks_cap, INDEX_DTYPE).at[wstarts].add(
             1, mode="drop"
