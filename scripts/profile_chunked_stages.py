@@ -96,6 +96,12 @@ def _meta_only(a, b, plan, prop="real"):
     total_chunks = ends[-1]
     c_ids = jnp.arange(chunks_cap, dtype=jnp.int32)
     chunk_valid = c_ids < total_chunks
+    arp = a.rowptr.astype(jnp.int32)
+    row_chunk_start = jnp.where(arp > 0, ends[jnp.maximum(arp - 1, 0)], 0)
+    hits_r = jnp.zeros(chunks_cap, jnp.int32).at[row_chunk_start[1:]].add(
+        1, mode="drop"
+    )
+    row_real = jnp.cumsum(hits_r)
     q_row = a_rows.astype(jnp.int32)
     q_posb = b_start - k * starts
     q_remb = per_nz + k * starts
@@ -127,9 +133,11 @@ def _meta_only(a, b, plan, prop="real"):
         c4 = jnp.cumsum(acc, axis=1)
         row, posb, remb, aval_bits = c4[0], c4[1], c4[2], c4[3]
     else:
-        row, posb, remb, aval_bits = ch._propagate_entry_consts(
-            starts, (q_row, q_posb, q_remb, q_aval), chunks_cap
+        posb, remb, aval_bits = ch._propagate_entry_consts(
+            starts, (q_posb, q_remb, q_aval), chunks_cap,
+            use_set=plan.scatter_set,
         )
+        row = row_real
     pos = posb + k * c_ids
     rem = remb - k * c_ids
     lane = jnp.arange(k, dtype=jnp.int32)
