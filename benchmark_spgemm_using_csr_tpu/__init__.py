@@ -13,6 +13,7 @@ from .ops.chunked import make_chunked_plan, spgemm_chunked
 from .ops.fused import make_plan as make_fused_plan, spgemm_fused
 from .ops.hash import spgemm_hash
 from .ops.batched import spgemm_batched
+from .ops.spadd import spadd
 from .compat import BhSparse
 
 __version__ = "0.1.0"
@@ -34,4 +35,5 @@ __all__ = [
     "make_fused_plan",
     "spgemm_fused",
     "spgemm_hash",
+    "spadd",
 ]

@@ -41,9 +41,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--op",
         default="spgemm",
-        choices=["spgemm", "spmv", "spmm"],
+        choices=["spgemm", "spmv", "spmm", "spadd"],
         help="benchmarked operation (spgemm: C=A@A; spmv: y=A@x; "
-        "spmm: Y=A@X with k=--spmm-k dense columns)",
+        "spmm: Y=A@X with k=--spmm-k dense columns; "
+        "spadd: C=A+A^T symmetrization)",
     )
     p.add_argument("--spmm-k", type=int, default=64)
     p.add_argument(
@@ -120,6 +121,8 @@ def main(argv=None) -> int:
 
     if args.op in ("spmv", "spmm"):
         return run_spmv_spmm(args, a, a_sp, nnz_a)
+    if args.op == "spadd":
+        return run_spadd(args, a, a_sp, nnz_a)
 
     flops = spgemm_flops(a, a)
     nnz_ct = flops // 2
@@ -206,6 +209,58 @@ def main(argv=None) -> int:
         report = roofline_report(models, total_time_s=res.mean_s)
         print(json.dumps(report, indent=2, default=float))
 
+    return 0 if verified in (True, None) else 1
+
+
+def run_spadd(args, a, a_sp, nnz_a: int) -> int:
+    """Benchmark C = A + A^T (symmetrization) vs the scipy golden."""
+    from .ops.spadd import make_add_plan, spadd_planned
+    from .sparse.csr import csr_transpose
+    from .utils.oracle import assert_csr_equal
+    from .utils.timing import bench
+
+    m, n = a.shape
+    if m != n:
+        raise SystemExit("spadd demo (A + A^T) needs a square matrix")
+    import jax
+
+    at = jax.block_until_ready(csr_transpose(a))
+    plan = make_add_plan(a, at)
+    run = lambda: spadd_planned(a, at, plan)
+    flops = nnz_a * 2  # one add per stream slot
+    res = bench(run, name=args.matrix, warmup=args.warmup, runs=args.runs,
+                flops=flops)
+    verified = None
+    if not args.no_verify:
+        want = (a_sp + a_sp.T).tocsr()
+        try:
+            assert_csr_equal(run(), want, rtol=1e-3, atol=1e-3)
+            verified = True
+        except AssertionError:
+            verified = False
+            print("VERIFY FAILED (spadd)", file=sys.stderr)
+
+    record = {
+        "matrix": args.matrix,
+        "op": args.op,
+        "m": m,
+        "n": n,
+        "nnz_a": nnz_a,
+        "mean_s": res.mean_s,
+        "min_s": res.min_s,
+        "gflops": res.gflops,
+        "verified": verified,
+    }
+    if args.out:
+        from .utils.results import write_result
+
+        write_result(args.out, record)
+    if args.json:
+        print(json.dumps(record))
+    else:
+        print(f"{args.op}: {args.matrix} mean {res.mean_s*1e3:.3f} ms  "
+              f"{res.gflops:.4f} GFlops  verify "
+              f"{'PASS' if verified else ('skip' if verified is None else 'FAIL')}")
     return 0 if verified in (True, None) else 1
 
 

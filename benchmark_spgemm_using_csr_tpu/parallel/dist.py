@@ -273,6 +273,71 @@ def dist_spgemm_ring(
     return ShardedCSR(rowptr, colidx, vals, (m, n))
 
 
+# ---------------------------------------------------------------------------
+# Distributed sparse addition (row-sharded, communication-free)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=128)
+def _spadd_exec(mesh, axis, m_loc, n, out_cap, dt):
+    """Cached compiled row-sharded C = alpha*A + beta*B executable.
+
+    Addition under a matching 1D row partition needs NO communication:
+    every output row depends only on the same row of both operands, so the
+    local kernel is the single-chip degenerate sort-merge (max_run=2)."""
+
+    def local_fn(a_rp, a_ci, a_va, b_rp, b_ci, b_va, alpha, beta):
+        a_loc = CSR(a_rp[0], a_ci[0], a_va[0], (m_loc, n))
+        b_loc = CSR(b_rp[0], b_ci[0], b_va[0], (m_loc, n))
+        row = jnp.concatenate([a_loc.row_ids(), b_loc.row_ids()])
+        col = jnp.concatenate([a_loc.colidx, b_loc.colidx]).astype(INDEX_DTYPE)
+        val = jnp.concatenate(
+            [a_loc.vals.astype(dt) * alpha.astype(dt),
+             b_loc.vals.astype(dt) * beta.astype(dt)]
+        )
+        prodstart = jnp.concatenate(
+            [jnp.zeros((1,), INDEX_DTYPE),
+             jnp.cumsum(a_loc.row_lengths() + b_loc.row_lengths())]
+        ).astype(INDEX_DTYPE)
+        c_loc = merge_products(
+            row.astype(INDEX_DTYPE), col, val, m_loc, n, out_cap,
+            max_run=2, val_dtype=dt, prodstart=prodstart,
+        )
+        return c_loc.rowptr[None], c_loc.colidx[None], c_loc.vals[None]
+
+    return jax.jit(
+        jax.shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=(P(axis),) * 6 + (P(), P()),
+            out_specs=(P(axis), P(axis), P(axis)),
+        )
+    )
+
+
+def dist_spadd(
+    a: CSR, b: CSR, mesh: Mesh, alpha=1.0, beta=1.0, axis: str = "rows"
+) -> CSR:
+    """Host-facing distributed C = alpha*A + beta*B: shard rows, local
+    merge on every device (no collectives), unshard."""
+    if a.shape != b.shape:
+        raise ValueError(f"shape mismatch: {a.shape} + {b.shape}")
+    n_shards = mesh.shape[axis]
+    a_sh = shard_rows(a, n_shards)
+    b_sh = shard_rows(b, n_shards)
+    if b_sh.m_loc != a_sh.m_loc:  # same m, same shard count -> always equal
+        raise AssertionError("row partitions disagree")
+    out_cap = pad_bucket(a_sh.cap + b_sh.cap)
+    dt = jnp.promote_types(a.dtype, b.dtype)
+    fn = _spadd_exec(mesh, axis, a_sh.m_loc, a.n, out_cap, dt)
+    rowptr, colidx, vals = fn(
+        a_sh.rowptr, a_sh.colidx, a_sh.vals,
+        b_sh.rowptr, b_sh.colidx, b_sh.vals,
+        jnp.asarray(alpha, dt), jnp.asarray(beta, dt),
+    )
+    return unshard(ShardedCSR(rowptr, colidx, vals, a.shape))
+
+
 def make_mesh(n_devices: int | None = None, axis: str = "rows") -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)

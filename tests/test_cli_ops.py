@@ -19,3 +19,13 @@ def test_cli_spmm(capsys):
     assert rc == 0
     rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rec["op"] == "spmm" and rec["verified"] is True
+
+
+def test_cli_spadd(capsys):
+    rc = main(
+        ["gen:er:256", "--op", "spadd", "--runs", "1", "--warmup", "0",
+         "--json"]
+    )
+    assert rc == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["op"] == "spadd" and rec["verified"] is True

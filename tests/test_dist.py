@@ -57,3 +57,32 @@ def test_dist_two_devices(eight_devices):
     a = random_csr(64, 64, density=0.1, seed=7)
     c = dist_spgemm(a, a, mesh, schedule="ring")
     assert_csr_equal(c, spgemm_reference(a, a), rtol=1e-4, atol=1e-5)
+
+
+def test_dist_spadd(eight_devices):
+    import scipy.sparse as sp
+
+    from benchmark_spgemm_using_csr_tpu.parallel.dist import dist_spadd
+
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(3)
+    sa = sp.random(300, 200, density=0.05, random_state=rng, format="csr",
+                   dtype=np.float32)
+    sb = sp.random(300, 200, density=0.05, random_state=rng, format="csr",
+                   dtype=np.float32)
+    c = dist_spadd(CSR.from_scipy(sa), CSR.from_scipy(sb), mesh,
+                   alpha=2.0, beta=-1.0)
+    assert_csr_equal(c, (2.0 * sa - sb).tocsr(), check_explicit_zeros=False)
+
+
+def test_dist_spadd_matches_single_chip(eight_devices):
+    from benchmark_spgemm_using_csr_tpu.ops.spadd import spadd
+    from benchmark_spgemm_using_csr_tpu.parallel.dist import dist_spadd
+
+    mesh = make_mesh(4)
+    sa = generators.erdos_renyi(257, 257, 6.0, seed=1)  # non-divisible m
+    sb = generators.erdos_renyi(257, 257, 6.0, seed=2)
+    a, b = CSR.from_scipy(sa), CSR.from_scipy(sb)
+    c_dist = dist_spadd(a, b, mesh)
+    c_one = spadd(a, b)
+    assert_csr_equal(c_dist, c_one.to_scipy())
