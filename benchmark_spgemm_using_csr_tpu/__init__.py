@@ -14,6 +14,7 @@ from .ops.fused import make_plan as make_fused_plan, spgemm_fused
 from .ops.hash import spgemm_hash
 from .ops.batched import spgemm_batched
 from .ops.spadd import spadd
+from .ops.sptrsv import sptrsv, make_trsv_plan, sptrsv_planned
 from .compat import BhSparse
 
 __version__ = "0.1.0"
@@ -36,4 +37,7 @@ __all__ = [
     "spgemm_fused",
     "spgemm_hash",
     "spadd",
+    "sptrsv",
+    "make_trsv_plan",
+    "sptrsv_planned",
 ]
