@@ -41,10 +41,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--op",
         default="spgemm",
-        choices=["spgemm", "spmv", "spmm", "spadd"],
+        choices=["spgemm", "spmv", "spmm", "spadd", "sptrsv"],
         help="benchmarked operation (spgemm: C=A@A; spmv: y=A@x; "
         "spmm: Y=A@X with k=--spmm-k dense columns; "
-        "spadd: C=A+A^T symmetrization)",
+        "spadd: C=A+A^T symmetrization; "
+        "sptrsv: L x = b on tril(A) with a diagonal shift ensuring "
+        "nonsingularity, level-scheduled exact solve)",
     )
     p.add_argument("--spmm-k", type=int, default=64)
     p.add_argument(
@@ -123,6 +125,8 @@ def main(argv=None) -> int:
         return run_spmv_spmm(args, a, a_sp, nnz_a)
     if args.op == "spadd":
         return run_spadd(args, a, a_sp, nnz_a)
+    if args.op == "sptrsv":
+        return run_sptrsv(args, a_sp)
 
     flops = spgemm_flops(a, a)
     nnz_ct = flops // 2
@@ -259,6 +263,67 @@ def run_spadd(args, a, a_sp, nnz_a: int) -> int:
         print(json.dumps(record))
     else:
         print(f"{args.op}: {args.matrix} mean {res.mean_s*1e3:.3f} ms  "
+              f"{res.gflops:.4f} GFlops  verify "
+              f"{'PASS' if verified else ('skip' if verified is None else 'FAIL')}")
+    return 0 if verified in (True, None) else 1
+
+
+def run_sptrsv(args, a_sp) -> int:
+    """Benchmark the exact level-scheduled triangular solve L x = b, where
+    L = tril(A) with the diagonal shifted to ensure nonsingularity
+    (row-sum dominance), vs scipy.sparse.linalg.spsolve_triangular."""
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    from . import CSR
+    from .ops.sptrsv import make_trsv_plan, sptrsv_planned
+    from .utils.timing import bench
+
+    m, n = a_sp.shape
+    if m != n:
+        raise SystemExit("sptrsv needs a square matrix")
+    l_sp = sp.tril(a_sp.tocsr(), format="csr").astype(np.float32)
+    shift = np.abs(l_sp).sum(axis=1).max() + 1.0
+    l_sp = (l_sp + sp.identity(m, np.float32, format="csr") * shift).tocsr()
+    nnz_l = l_sp.nnz
+    a = CSR.from_scipy(l_sp)
+    sched = make_trsv_plan(a, lower=True)
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.standard_normal(m).astype(np.float32))
+    run = lambda: sptrsv_planned(a, b, sched)
+    flops = 2 * nnz_l
+    res = bench(run, name=args.matrix, warmup=args.warmup, runs=args.runs,
+                flops=flops)
+    verified = None
+    if not args.no_verify:
+        from scipy.sparse.linalg import spsolve_triangular
+
+        want = spsolve_triangular(l_sp, np.asarray(b), lower=True)
+        verified = bool(np.allclose(np.asarray(run()), want, rtol=1e-3, atol=1e-3))
+        if not verified:
+            print("VERIFY FAILED (sptrsv)", file=sys.stderr)
+
+    record = {
+        "matrix": args.matrix,
+        "op": args.op,
+        "m": m,
+        "n": n,
+        "nnz_l": nnz_l,
+        "n_levels": sched.plan.n_levels,
+        "mean_s": res.mean_s,
+        "min_s": res.min_s,
+        "gflops": res.gflops,
+        "verified": verified,
+    }
+    if args.out:
+        from .utils.results import write_result
+
+        write_result(args.out, record)
+    if args.json:
+        print(json.dumps(record))
+    else:
+        print(f"{args.op}: {args.matrix} ({m} rows, nnzL {nnz_l}, "
+              f"{sched.plan.n_levels} levels) mean {res.mean_s*1e3:.3f} ms  "
               f"{res.gflops:.4f} GFlops  verify "
               f"{'PASS' if verified else ('skip' if verified is None else 'FAIL')}")
     return 0 if verified in (True, None) else 1

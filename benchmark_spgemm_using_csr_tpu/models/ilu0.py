@@ -178,17 +178,33 @@ def ilu0_apply(f: CSR, r, iters: int = 20):
 
 
 def pcg(a: CSR, b, f: CSR | None = None, tol: float = 1e-6, max_iters: int = 200,
-        solve_iters: int = 20):
+        solve_iters: int = 20, precond: str = "jacobi"):
     """Preconditioned conjugate gradients with the ILU0 factor ``f`` as
-    M ≈ A (plain CG when f is None) — the end-to-end ILU0 demo."""
+    M ≈ A (plain CG when f is None) — the end-to-end ILU0 demo.
+
+    ``precond="jacobi"`` applies M^{-1} with fixed-count Jacobi triangular
+    sweeps (`ilu0_apply`); ``precond="exact"`` uses the level-scheduled
+    exact SpTRSV (`ops.sptrsv.ilu0_apply_exact`) with schedules built once
+    from f's structure and reused every iteration."""
     import jax.numpy as jnp
     import numpy as np
 
     from ..ops.spmv import spmv
 
+    if f is not None and precond == "exact":
+        from ..ops.sptrsv import ilu0_apply_exact, make_trsv_plan
+
+        sched_l = make_trsv_plan(f, lower=True, unit_diag=True)
+        sched_u = make_trsv_plan(f, lower=False)
+        apply_m = lambda r: ilu0_apply_exact(f, r, sched_l, sched_u)
+    elif f is not None:
+        if precond != "jacobi":
+            raise ValueError(f"unknown precond {precond!r}; use 'jacobi' or 'exact'")
+        apply_m = lambda r: ilu0_apply(f, r, solve_iters)
+
     x = jnp.zeros_like(b)
     r = b - spmv(a, x)
-    z = ilu0_apply(f, r, solve_iters) if f is not None else r
+    z = apply_m(r) if f is not None else r
     p = z
     rz = jnp.dot(r, z)
     bnorm = float(jnp.linalg.norm(b))
@@ -202,7 +218,7 @@ def pcg(a: CSR, b, f: CSR | None = None, tol: float = 1e-6, max_iters: int = 200
         alpha = rz / jnp.dot(p, ap)
         x = x + alpha * p
         r = r - alpha * ap
-        z = ilu0_apply(f, r, solve_iters) if f is not None else r
+        z = apply_m(r) if f is not None else r
         rz_new = jnp.dot(r, z)
         p = z + (rz_new / rz) * p
         rz = rz_new

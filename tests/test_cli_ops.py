@@ -29,3 +29,14 @@ def test_cli_spadd(capsys):
     assert rc == 0
     rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rec["op"] == "spadd" and rec["verified"] is True
+
+
+def test_cli_sptrsv(capsys):
+    rc = main(
+        ["gen:er:256", "--op", "sptrsv", "--runs", "1", "--warmup", "0",
+         "--json"]
+    )
+    assert rc == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["op"] == "sptrsv" and rec["verified"] is True
+    assert rec["n_levels"] >= 1

@@ -51,3 +51,21 @@ def test_pcg_converges_faster_with_ilu0():
     # and solves the system
     res = np.linalg.norm(a_sp @ x_pc - np.asarray(b)) / np.linalg.norm(np.asarray(b))
     assert res < 1e-3
+
+
+def test_pcg_exact_precond_beats_jacobi_iters():
+    import jax.numpy as jnp
+
+    a_sp = _spd_poisson(16)
+    a = CSR.from_scipy(a_sp)
+    rng = np.random.default_rng(2)
+    b = jnp.asarray(rng.standard_normal(a.m).astype(np.float32))
+
+    f = ilu0(a, sweeps=20)
+    x_ex, hist_ex = pcg(a, b, f, tol=1e-5, max_iters=150, precond="exact")
+    _, hist_cg = pcg(a, b, None, tol=1e-5, max_iters=150)
+
+    assert hist_ex[-1] < 1e-4
+    assert len(hist_ex) < len(hist_cg)
+    res = np.linalg.norm(a_sp @ x_ex - np.asarray(b)) / np.linalg.norm(np.asarray(b))
+    assert res < 1e-3
