@@ -15,6 +15,7 @@ from .ops.hash import spgemm_hash
 from .ops.batched import spgemm_batched
 from .ops.spadd import spadd
 from .ops.sptrsv import sptrsv, make_trsv_plan, sptrsv_planned
+from .ops.reuse import make_numeric_plan, spgemm_numeric
 from .compat import BhSparse
 
 __version__ = "0.1.0"
@@ -40,4 +41,6 @@ __all__ = [
     "sptrsv",
     "make_trsv_plan",
     "sptrsv_planned",
+    "make_numeric_plan",
+    "spgemm_numeric",
 ]
