@@ -48,15 +48,21 @@ def main() -> None:
     from benchmark_spgemm_using_csr_tpu import (
         BSR,
         CSR,
+        DIA,
         make_chunked_plan,
         spgemm_chunked,
         spgemm_flops,
     )
     from benchmark_spgemm_using_csr_tpu.ops.bsr import (
         bsr_spgemm,
-        bsr_viable,
         make_bsr_plan,
     )
+    from benchmark_spgemm_using_csr_tpu.ops.dia import dia_spgemm
+    from benchmark_spgemm_using_csr_tpu.ops.dense import (
+        make_dense_plan,
+        spgemm_dense,
+    )
+    from benchmark_spgemm_using_csr_tpu.ops.dispatch import choose_method
     from benchmark_spgemm_using_csr_tpu.utils import generators
     from benchmark_spgemm_using_csr_tpu.utils.timing import bench
     from benchmark_spgemm_using_csr_tpu.utils.results import write_result
@@ -98,6 +104,38 @@ def main() -> None:
 
         return run
 
+    def k_loop_dia(a_d):
+        """DIA path: like the BSR loop, the product stays in the format's
+        own container (diagonal planes == C's values; offsets are static
+        structure, the rowptr/colidx analogue)."""
+
+        @jax.jit
+        def run(a_plane):
+            def body(plane, _):
+                a_i = DIA(plane, a_d.offsets, a_d.shape)
+                c = dia_spgemm(a_i, a_i)
+                eps = runtime_zero_probe(c.data.reshape(-1)).astype(plane.dtype)
+                return plane + eps, c.data[0, 0]
+            _, outs = jax.lax.scan(body, a_plane, None, length=K_ITERS)
+            return outs
+
+        return run
+
+    def k_loop_dense(dplan):
+        @jax.jit
+        def run(a):
+            def body(a_c, _):
+                c = spgemm_dense(a_c, a_c, dplan)
+                eps = runtime_zero_probe(c.vals).astype(a_c.vals.dtype)
+                a_next = CSR(
+                    a_c.rowptr, a_c.colidx, a_c.vals + eps, a_c.shape
+                )
+                return a_next, c.vals[0]
+            _, outs = jax.lax.scan(body, a, None, length=K_ITERS)
+            return outs
+
+        return run
+
     def k_loop_bsr(a_b, b_b, bplan):
         @jax.jit
         def run(a_blocks):
@@ -118,8 +156,23 @@ def main() -> None:
         a_sp = factory()
         a = CSR.from_scipy(a_sp)
         flops = spgemm_flops(a, a)
-        use_bsr = bsr_viable(a)
-        if use_bsr:
+        method = choose_method(a)
+        use_dia = method == "dia"
+        use_bsr = method == "bsr"
+        use_dense = method == "dense"
+        if use_dia:
+            a_d = DIA.from_scipy(a_sp)
+            csp = dia_spgemm(a_d, a_d).to_scipy().tocsr()
+            csp.eliminate_zeros()  # in-plane zeros are not true C entries
+            nnz_c = int(csp.nnz)
+            kfn = k_loop_dia(a_d)
+            arg = a_d.data
+        elif use_dense:
+            dplan = make_dense_plan(a, a)
+            nnz_c = dplan.nnz_c
+            kfn = k_loop_dense(dplan)
+            arg = a
+        elif use_bsr:
             a_b = BSR.from_scipy(a_sp, block_shape=(8, 128))
             b_b = BSR.from_scipy(a_sp, block_shape=(128, 128))
             bplan = make_bsr_plan(a_b, b_b)
@@ -137,9 +190,9 @@ def main() -> None:
         # each run gets distinct value bits: the axon tunnel short-circuits
         # bitwise-identical re-dispatches without executing them
         # (utils/timing.py docstring), so repeats of one arg measure nothing
-        if use_bsr:
+        if use_dia or use_bsr:
             vary = lambda i: (arg + jnp.float32(1e-6) * i,)
-        else:
+        else:  # chunked and dense carry the CSR itself
             vary = lambda i: (
                 CSR(arg.rowptr, arg.colidx,
                     arg.vals + jnp.asarray(1e-6 * i, arg.vals.dtype),
@@ -167,7 +220,7 @@ def main() -> None:
             "nnz_per_s": nnz_c / device_s,
             "flops": flops,
             "nnz_c": nnz_c,
-            "method": "bsr" if use_bsr else "chunked",
+            "method": method,
             "sol_fraction": round(float(sol.get("sol_fraction", 0.0)), 4),
         }
         write_result(

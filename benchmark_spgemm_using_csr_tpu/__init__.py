@@ -6,6 +6,10 @@ reference-availability caveats (the mount was empty; behavior is built to
 the published IPDPS14/JPDC15 algorithm spec and BASELINE.json).
 """
 from .sparse.csr import CSR, COO, BSR, csr_transpose, csr_gather_rows, pad_bucket
+from .sparse.dia import DIA
+from .ops.dia import dia_spgemm, dia_spmv, dia_viable, spgemm_dia
+from .ops.dense import make_dense_plan, spgemm_dense, spgemm_dense_auto
+from .ops.dispatch import choose_method
 from .api import spgemm, spgemm_flops, nnz_upper_bound
 from .ops.esc import spgemm_esc_padded
 from .ops.binned import spgemm_binned_host
@@ -24,6 +28,15 @@ __all__ = [
     "CSR",
     "COO",
     "BSR",
+    "DIA",
+    "dia_spgemm",
+    "dia_spmv",
+    "dia_viable",
+    "spgemm_dia",
+    "make_dense_plan",
+    "spgemm_dense",
+    "spgemm_dense_auto",
+    "choose_method",
     "csr_transpose",
     "csr_gather_rows",
     "pad_bucket",

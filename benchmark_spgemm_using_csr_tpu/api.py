@@ -50,12 +50,16 @@ def spgemm(
         # MXU block path wins when occupied-block density is high enough to
         # amortize the flop inflation (measured crossover ~2% at (8,128) on
         # TPU v5e: banded 15.6% -> 6x faster, poisson 1.3% -> tie).
-        from .ops.bsr import bsr_viable
+        # cost-model dispatch over all four backends (ops/dispatch.py —
+        # the stage-2 analogue, measured constants). Methods like 'tiled'
+        # remain available explicitly; for a general A @ B only the
+        # C = A @ A models apply, so fall back to chunked.
+        if a is b:
+            from .ops.dispatch import choose_method
 
-        # measured on-chip: tiled+Pallas beats chunked by only ~4% device
-        # time in its regime (gathers dominate both) but costs more per
-        # dispatch — auto stays bsr|chunked; 'tiled' is available explicitly
-        method = "bsr" if (a is b and bsr_viable(a)) else "chunked"
+            method = choose_method(a)
+        else:
+            method = "chunked"
     if method == "chunked":
         from .ops.chunked import make_chunked_plan, spgemm_chunked
 
@@ -64,6 +68,14 @@ def spgemm(
         from .ops.bsr import spgemm_bsr
 
         c = spgemm_bsr(a, b)
+    elif method == "dia":
+        from .ops.dia import spgemm_dia
+
+        c = spgemm_dia(a, b)
+    elif method == "dense":
+        from .ops.dense import spgemm_dense_auto
+
+        c = spgemm_dense_auto(a, b)
     elif method == "fused":
         from .ops.fused import make_plan as _make_fused_plan, spgemm_fused
 

@@ -1,0 +1,133 @@
+"""Dense-MXU SpGEMM for small high-fill matrices — scatter, matmul, extract.
+
+When C = A @ B is nearly structurally dense (mouse_gene / dense_rows regime,
+SURVEY.md §8: every row hundreds of nnz, fill of C ~1), the reference's
+merge kernels and our sort-based paths pay per-product irregular-memory cost
+for structure that is almost all-ones. The TPU-native answer is to put the
+FLOPs where the hardware wants them — the MXU:
+
+  1. scatter CSR values into dense operand tiles (one collision-free
+     scatter-SET per matrix, ~nnz descriptors — cheap at this regime's nnz),
+  2. one dense matmul (`precision=HIGHEST` to hold f32 golden tolerances,
+     CLAUDE.md),
+  3. extract C's values at the *static* structural positions computed at
+     plan time, via the same monotone log-shift compaction the chunked path
+     uses (ops/chunked._shift_compact) — bandwidth-bound, zero gathers.
+
+Unlike the BSR/DIA format paths, the output matches the scalar paths'
+structural semantics exactly: the plan's rowptr/colidx are the boolean
+pattern product (what merge-based SpGEMM produces), so entries that
+numerically cancel stay as explicit zeros, same as scipy's golden
+(utils/oracle.spgemm_reference).
+
+Reference analogue: the merge-method bin of stage 3 (SURVEY.md §4) at its
+densest extreme; dispatch decided by the measured cost model in
+ops/dispatch.choose_method.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..sparse.csr import CSR, pad_bucket
+from .chunked import _shift_compact
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DensePlan:
+    """Static structural plan for the dense-MXU path.
+
+    rowptr/colidx: C's structural CSR pattern (pattern product, host-built).
+    kept/disp: per dense-C-slot keep flag and left-displacement (number of
+    structural holes before the slot) feeding the shift compaction.
+    """
+
+    rowptr: jax.Array
+    colidx: jax.Array
+    kept: jax.Array
+    disp: jax.Array
+    nnz_c: int = dataclasses.field(metadata=dict(static=True))
+    cap_c: int = dataclasses.field(metadata=dict(static=True))
+    disp_bits: int = dataclasses.field(metadata=dict(static=True))
+    shape: tuple = dataclasses.field(metadata=dict(static=True))
+
+
+def make_dense_plan(a: CSR, b: CSR) -> DensePlan:
+    """Host symbolic pass: boolean pattern product -> static structure."""
+    import scipy.sparse as sp
+
+    sa = a.to_scipy()
+    sb = b.to_scipy()
+    pat_a = sp.csr_matrix(
+        (np.ones(sa.nnz, np.float64), sa.indices, sa.indptr), shape=sa.shape
+    )
+    pat_b = sp.csr_matrix(
+        (np.ones(sb.nnz, np.float64), sb.indices, sb.indptr), shape=sb.shape
+    )
+    pat_c = (pat_a @ pat_b).tocsr()
+    pat_c.sort_indices()
+    m, n = pat_c.shape
+    nnz_c = int(pat_c.nnz)
+    kept = np.zeros(m * n, np.bool_)
+    rows = np.repeat(np.arange(m, dtype=np.int64), np.diff(pat_c.indptr))
+    flat = rows * n + pat_c.indices.astype(np.int64)
+    kept[flat] = True
+    # displacement of each slot = holes before it; strictly increasing over
+    # kept slots -> _shift_compact's monotonicity precondition holds
+    holes_before = np.cumsum(~kept) - (~kept)
+    disp = holes_before.astype(np.int32)
+    n_holes = int(m * n - nnz_c)
+    disp_bits = max(int(n_holes).bit_length(), 1)
+    cap_c = pad_bucket(nnz_c)
+    rowptr = jnp.asarray(pat_c.indptr.astype(np.int32))
+    colidx = np.zeros(cap_c, np.int32)
+    colidx[:nnz_c] = pat_c.indices
+    return DensePlan(
+        rowptr=rowptr,
+        colidx=jnp.asarray(colidx),
+        kept=jnp.asarray(kept),
+        disp=jnp.asarray(disp),
+        nnz_c=nnz_c,
+        cap_c=cap_c,
+        disp_bits=disp_bits,
+        shape=(m, n),
+    )
+
+
+def csr_to_dense(a: CSR) -> jax.Array:
+    """Collision-free scatter-SET densification (padding slots write 0 to
+    the (m, 0) sentinel cell of an extra guard row, then sliced off)."""
+    rows = a.row_ids()  # padding -> m
+    dense = jnp.zeros((a.m + 1, a.n), a.vals.dtype)
+    dense = dense.at[rows, a.colidx].set(a.vals, mode="drop")
+    return dense[: a.m]
+
+
+def spgemm_dense(a: CSR, b: CSR, plan: DensePlan) -> CSR:
+    """C = A @ B on the MXU (jit-able). Structure comes from the plan; only
+    values are computed on device."""
+    da = csr_to_dense(a)
+    db = csr_to_dense(b)
+    cd = jnp.matmul(da, db, precision=jax.lax.Precision.HIGHEST)
+    vals = cd.reshape(-1)
+    if plan.nnz_c < vals.shape[0]:
+        (vals,) = _shift_compact(
+            plan.kept, plan.disp, [vals], plan.disp_bits
+        )
+    pad = plan.cap_c - vals.shape[0]
+    if pad > 0:
+        vals = jnp.concatenate([vals, jnp.zeros(pad, vals.dtype)])
+    vals = vals[: plan.cap_c]
+    vals = jnp.where(
+        jnp.arange(plan.cap_c) < plan.nnz_c, vals, jnp.zeros((), vals.dtype)
+    )
+    return CSR(plan.rowptr, plan.colidx, vals, plan.shape)
+
+
+def spgemm_dense_auto(a: CSR, b: CSR) -> CSR:
+    """Host-facing convenience wrapper (plan built per call)."""
+    return spgemm_dense(a, b, make_dense_plan(a, b))

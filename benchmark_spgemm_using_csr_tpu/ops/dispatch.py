@@ -1,0 +1,119 @@
+"""Cost-model method dispatch for C = A @ A — the stage-2 analogue.
+
+The reference decides per-ROW which numeric kernel runs (38-bin binning,
+SURVEY.md §4 stage 2). On TPU the same decision is better taken per-MATRIX
+and per-FORMAT: the four backends have qualitatively different cost shapes,
+all measured on the v5-lite chip with the full-output probe (2026-08-17):
+
+  chunked  sort/gather ESC      ~15 ns / intermediate product (gather wall)
+  bsr      MXU block matmul     ~50 ns / (8,128)x(128,128) block pair
+  dia      static-shift vectors ~0.1 ns / plane slot + ~25 us per diagonal
+  dense    full-MXU matmul      mknx2 flops at ~30 TF/s (f32 HIGHEST)
+                                + scatter-in + shift-compaction extract
+
+``choose_method`` estimates each and returns the argmin — one host-side
+O(nnz) numpy pass at plan time, like the reference's host-side binning.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..sparse.csr import CSR
+
+# measured constants (see BASELINE.md history; re-calibrate on new hardware)
+# *_FIXED_S are per-pipeline-invocation op-count overheads: the chunked body
+# carries ~3.3 ms fixed (CLAUDE.md), the BSR pipeline ~2.5 ms (banded_16k
+# measured 3.36 ms total at a trivial pair count), dense ~0.5 ms
+CHUNKED_NS_PER_PRODUCT = 15.0
+CHUNKED_FIXED_S = 3.3e-3
+BSR_NS_PER_PAIR = 50.0
+BSR_FIXED_S = 2.5e-3
+DENSE_FIXED_S = 0.5e-3
+DIA_NS_PER_SLOT = 0.1
+DIA_OP_OVERHEAD_S = 25e-6
+MXU_F32_HIGHEST_FLOPS = 3.0e13
+SCATTER_DESC_PER_S = 3.0e8
+HBM_BYTES_PER_S = 8.0e11
+DENSE_MEM_BYTES = 1 << 30
+DIA_PLANE_BYTES = 512 << 20
+BSR_PAIR_BYTES = 2 << 30
+
+
+def _stats(a: CSR):
+    rowptr = np.asarray(a.rowptr)
+    nnz = int(rowptr[-1])
+    row_lens = np.diff(rowptr).astype(np.int64)
+    cols = np.asarray(a.colidx)[:nnz].astype(np.int64)
+    products = int(row_lens[cols].sum()) if nnz else 0
+    return rowptr, nnz, row_lens, cols, products
+
+
+def estimate_chunked_s(a: CSR, products: int | None = None) -> float:
+    if products is None:
+        *_, products = _stats(a)
+    return CHUNKED_FIXED_S + products * CHUNKED_NS_PER_PRODUCT * 1e-9
+
+
+def estimate_bsr_s(a: CSR, block_shape=(8, 128)) -> float:
+    """Block-pair count model (mirrors ops/bsr.bsr_viable)."""
+    bm, bk = block_shape
+    m, n = a.shape
+    if m % bm or n % bk or m % bk or n % bk:
+        return float("inf")
+    rowptr, nnz, _, cols, _ = _stats(a)
+    if not nnz:
+        return 0.0
+    rows = np.repeat(np.arange(m, dtype=np.int64), np.diff(rowptr))
+    nbk = n // bk
+    a_keys = np.unique((rows // bm) * nbk + cols // bk)
+    b_keys = np.unique((rows // bk) * nbk + cols // bk)
+    b_blen = np.bincount(b_keys // nbk, minlength=m // bk)
+    pairs = int(b_blen[a_keys % nbk].sum())
+    if pairs * bm * bk * 4 > BSR_PAIR_BYTES:
+        return float("inf")
+    return BSR_FIXED_S + pairs * BSR_NS_PER_PAIR * 1e-9
+
+
+def estimate_dia_s(a: CSR) -> float:
+    rowptr, nnz, _, cols, _ = _stats(a)
+    if not nnz:
+        return 0.0
+    rows = np.repeat(np.arange(a.m, dtype=np.int64), np.diff(rowptr))
+    offs = np.unique(cols - rows)
+    nd = len(offs)
+    # early out before the O(nd^2) offset-sum table: many-diagonal matrices
+    # can never win on the nd^2*n cost (and the table itself would be huge)
+    if nd * nd * a.n * DIA_NS_PER_SLOT * 1e-9 > 10.0 or nd > 4096:
+        return float("inf")
+    n_off_c = len(np.unique(offs[:, None] + offs[None, :]))
+    itemsize = np.dtype(a.vals.dtype).itemsize
+    if n_off_c * a.n * itemsize > DIA_PLANE_BYTES:
+        return float("inf")
+    return nd * nd * a.n * DIA_NS_PER_SLOT * 1e-9 + nd * DIA_OP_OVERHEAD_S
+
+
+def estimate_dense_s(a: CSR) -> float:
+    m, k = a.shape
+    n = k  # C = A @ A
+    itemsize = np.dtype(a.vals.dtype).itemsize
+    if (m * k + k * n + m * n) * itemsize > DENSE_MEM_BYTES:
+        return float("inf")
+    _, nnz, *_ = _stats(a)
+    matmul_s = 2.0 * m * k * n / MXU_F32_HIGHEST_FLOPS
+    scatter_s = 2 * nnz / SCATTER_DESC_PER_S
+    # extraction: ~log2(holes) conditional-shift passes over the dense C
+    passes = max(int(m * n).bit_length() - 8, 1)  # holes unknown pre-plan
+    compact_s = passes * (m * n * (2 * itemsize + 1)) / HBM_BYTES_PER_S
+    return DENSE_FIXED_S + matmul_s + scatter_s + compact_s
+
+
+def choose_method(a: CSR) -> str:
+    """Pick the fastest backend for C = A @ A by measured cost model."""
+    *_, products = _stats(a)
+    est = {
+        "chunked": estimate_chunked_s(a, products),
+        "bsr": estimate_bsr_s(a),
+        "dia": estimate_dia_s(a),
+        "dense": estimate_dense_s(a),
+    }
+    return min(est, key=est.get)
