@@ -111,7 +111,10 @@ def spgemm_dense(a: CSR, b: CSR, plan: DensePlan) -> CSR:
     """C = A @ B on the MXU (jit-able). Structure comes from the plan; only
     values are computed on device."""
     da = csr_to_dense(a)
-    db = csr_to_dense(b)
+    # C = A @ A squaring: trace one densification scatter, not two (XLA CSE
+    # dedupes the identical scatter anyway — measured no-op — but the single
+    # trace keeps the HLO smaller)
+    db = da if b is a else csr_to_dense(b)
     cd = jnp.matmul(da, db, precision=jax.lax.Precision.HIGHEST)
     vals = cd.reshape(-1)
     if plan.nnz_c < vals.shape[0]:

@@ -22,17 +22,23 @@ from ..sparse.csr import CSR
 
 # measured constants (see BASELINE.md history; re-calibrate on new hardware)
 # *_FIXED_S are per-pipeline-invocation op-count overheads: the chunked body
-# carries ~3.3 ms fixed (CLAUDE.md), the BSR pipeline ~2.5 ms (banded_16k
-# measured 3.36 ms total at a trivial pair count), dense ~0.5 ms
+# carries ~3.3 ms fixed (CLAUDE.md), the other pipelines ~2.5 ms (A/B table
+# below). Calibration set (scripts/ab_dispatch.py, on-chip 2026-08-18):
+#   banded_16k     dia 3.90ms bsr 3.87ms  | model 4.15 / 2.88
+#   dense_rows_2k  dense 6.92ms bsr 5.95ms| model 6.58 / 5.78
+#   poisson2d_256  dia 3.47ms bsr 9.19ms  | model 2.79 / 7.50
+#   stencil27_32   dia 6.59ms bsr 10.6ms  | model 5.56 / 9.62
 CHUNKED_NS_PER_PRODUCT = 15.0
 CHUNKED_FIXED_S = 3.3e-3
 BSR_NS_PER_PAIR = 50.0
 BSR_FIXED_S = 2.5e-3
-DENSE_FIXED_S = 0.5e-3
+DENSE_FIXED_S = 2.5e-3
+DIA_FIXED_S = 2.5e-3
 DIA_NS_PER_SLOT = 0.1
 DIA_OP_OVERHEAD_S = 25e-6
 MXU_F32_HIGHEST_FLOPS = 3.0e13
-SCATTER_DESC_PER_S = 3.0e8
+# descriptor-bound like gathers: measured ~138 M desc/s (CLAUDE.md)
+SCATTER_DESC_PER_S = 1.38e8
 HBM_BYTES_PER_S = 8.0e11
 DENSE_MEM_BYTES = 1 << 30
 DIA_PLANE_BYTES = 512 << 20
@@ -89,7 +95,11 @@ def estimate_dia_s(a: CSR) -> float:
     itemsize = np.dtype(a.vals.dtype).itemsize
     if n_off_c * a.n * itemsize > DIA_PLANE_BYTES:
         return float("inf")
-    return nd * nd * a.n * DIA_NS_PER_SLOT * 1e-9 + nd * DIA_OP_OVERHEAD_S
+    return (
+        DIA_FIXED_S
+        + nd * nd * a.n * DIA_NS_PER_SLOT * 1e-9
+        + nd * DIA_OP_OVERHEAD_S
+    )
 
 
 def estimate_dense_s(a: CSR) -> float:

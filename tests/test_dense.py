@@ -66,8 +66,12 @@ def test_dense_empty_rows():
 
 
 def test_choose_method_regimes():
-    assert choose_method(CSR.from_scipy(generators.poisson2d(32))) == "dia"
-    assert choose_method(CSR.from_scipy(generators.banded(1024, 8))) == "dia"
+    # expectations track the on-chip A/B calibration table in ops/dispatch.py
+    # (scripts/ab_dispatch.py): stencil regimes -> dia, banded and mid-size
+    # dense-rows -> bsr (measured winners), irregular -> chunked, large
+    # dense-rows -> full-MXU dense
+    assert choose_method(CSR.from_scipy(generators.poisson2d(64))) == "dia"
+    assert choose_method(CSR.from_scipy(generators.banded(1024, 8))) == "bsr"
     assert (
         choose_method(CSR.from_scipy(generators.erdos_renyi(4096, 4096, 8.0)))
         == "chunked"
@@ -76,5 +80,9 @@ def test_choose_method_regimes():
         choose_method(
             CSR.from_scipy(generators.dense_rows(2048, 2048, nnz_per_row=96))
         )
+        == "bsr"
+    )
+    assert (
+        choose_method(CSR.from_scipy(generators.SUITE["dense_rows_8k"]()))
         == "dense"
     )
