@@ -106,6 +106,18 @@ class ChunkedPlan:
     # conditional-shift pass count (24 -> ~14 on er-like streams where
     # squaring creates almost no duplicates). 0 = unbounded (log2(cap)).
     disp_bits: int = 0
+    # Aligned short-row expansion: when al > 0 (must equal k), short rows
+    # expand from an al-ALIGNED packed (col,val) copy of B, fetched as whole
+    # (2*al)-int32 table rows — al pairs per gather descriptor instead of 1.
+    # Measured (scripts/micro_packwidth.py, v5e 2026-08-18): 8-pair rows
+    # gather at ~182 M desc/s = 2.9 G elem/s vs ~180-210 M elem/s for the
+    # per-pair narrow gather. The price is stream inflation (each B row
+    # padded to a multiple of al); make_chunked_plan picks narrow vs aligned
+    # per matrix from exact host-side stream sizes. Requires 32-bit-packable
+    # values (f32/bf16/f16); the table is built IN-GRAPH by one pair-gather
+    # of abpad_cap descriptors (scatter builds cost 2*nnzB descriptors).
+    al: int = 0
+    abpad_cap: int = 0  # aligned-table capacity in pairs (multiple of al)
 
     @property
     def prod_cap(self) -> int:
@@ -122,7 +134,7 @@ def pad_gentle(n: int, minimum: int = 8) -> int:
 
 def make_chunked_plan(
     a: CSR, b: CSR, k: int | None = None, wide_min: int | None = None,
-    wide_lanes: int = WIDE_LANES,
+    wide_lanes: int = WIDE_LANES, al: int | None = None,
 ) -> ChunkedPlan:
     nnz_ct = np.asarray(jax.jit(nnz_upper_bound)(a, b))
     b_len = np.diff(np.asarray(b.rowptr))
@@ -170,30 +182,69 @@ def make_chunked_plan(
         wchunks_cap = 0
         bpad_cap = 0
 
-    if k is None:
-        # pick k minimizing modeled device time: per padded product (tile
-        # gather descriptor + the two sorts + runsum + finish, measured
-        # ~9 ns combined) vs per chunk (four delta-propagation cumsum
-        # slots, ~4 ns now that A values propagate instead of gathering) —
-        # evaluate small k (k=1 has ZERO padding waste: chunk stream ==
-        # product stream) plus candidates around the mean length
-        mean_len = max(total / max(nnz_a, 1), 1.0)
-        cands = sorted(
+    # Short-row expansion mode: narrow per-pair gather (chunk width k) vs
+    # AL-ALIGNED packed-table row gather (al pairs per descriptor). Measured
+    # v5e constants (scripts/micro_packwidth.py + on-chip full-pipeline A/B,
+    # scripts/ab_aligned.py, 2026-08-18):
+    # - sort+runsum+compact ~3.9 ns per padded product slot
+    # - narrow pair gathers ~5.5 ns/descriptor (~180 M desc/s)
+    # - aligned row gathers {8: 182, 16: 123} M desc/s (al=2 is dominated by
+    #   narrow k=1 — same per-product cost, extra waste + table build; al=4
+    #   anomalously slow in the micro — both excluded)
+    # - aligned gather output (chunks, 2*al) lane-pads to 128 when
+    #   materialized -> relayout bandwidth ~0.085 ns per product per
+    #   pad-factor (fit: er al=8 and powerlaw al=2 full-pipeline deltas)
+    # - table build = one pair-gather over the aligned-B footprint
+    # - cumsum/propagation marginal ~1 ns per chunk slot
+    # Calibration (on-chip full pipeline): er_medium narrow-k2 118 ms /
+    # al8 91 ms; powerlaw_medium narrow-k1 48 ms / al2 53 / al8 52.
+    AL_DESC_RATES = {8: 1.82e8, 16: 1.23e8}
+    SORT_NS, PAIR_NS, CHUNK_NS = 3.9, 5.5, 1.0
+    al_packable = a.vals.dtype in (jnp.float32, jnp.bfloat16, jnp.float16)
+    abpad_cap = 0
+
+    def _narrow_cost(c):
+        ch = int(np.ceil(lens / c).sum())
+        return (SORT_NS + PAIR_NS) * ch * c + CHUNK_NS * ch
+
+    if al:  # explicit aligned width
+        if k is None:
+            k = al
+    elif k is None and lens.size:
+        mean_len = max(float(lens.mean()), 1.0)
+        n_cands = sorted(
             {1, 2}
-            | {int(np.clip(round(mean_len * f), 4, 256)) for f in (0.5, 0.75, 1.0, 1.5, 2.0)}
+            | {int(np.clip(round(mean_len * f), 4, 256))
+               for f in (0.5, 0.75, 1.0, 1.5, 2.0)}
         )
-        if lens.size:
-            w_prod, w_chunk = 9.0, 4.0
-            costs = [
-                (lambda ch: w_prod * ch * c + w_chunk * ch)(
-                    int(np.ceil(lens / c).sum())
+        best = min((_narrow_cost(c), 0, c) for c in n_cands)
+        if al is None and al_packable:
+            blen_short = b_len[b_len < wide_min] if use_wide else b_len
+            for w, rate in AL_DESC_RATES.items():
+                ch = int(np.ceil(lens / w).sum())
+                bpad_w = int((np.ceil(blen_short / w) * w).sum())
+                layout_ns = 0.085 * (128 / (2 * w))
+                cost = (
+                    (SORT_NS + 1e9 / (w * rate) + layout_ns) * ch * w
+                    + CHUNK_NS * ch
+                    + PAIR_NS * bpad_w
                 )
-                for c in cands
-            ]
-            k = cands[int(np.argmin(costs))]
-        else:
-            k = cands[0]
+                if cost < best[0]:
+                    best = (cost, w, w)
+        _, al, k = best
+    al = al or 0
+    if al and not al_packable:
+        raise ValueError("aligned expansion requires 32-bit-packable values")
+    if k is None:
+        k = 1
     k = min(k, b.capacity)
+    if al:
+        al = k
+        blen_short = b_len[b_len < wide_min] if use_wide else b_len
+        bpad = int((np.ceil(blen_short / al) * al).sum())
+        abpad_cap = max(
+            -(-pad_gentle(max(bpad, 1)) // al) * al, al
+        )
     # chunks: per A entry ceil(len(B_col)/K); bound via per-row sums
     chunks = int(np.ceil(lens / k).sum()) if nnz_a else 0
     # scatter-SET propagation needs every entry (incl. capacity padding) to
@@ -246,6 +297,8 @@ def make_chunked_plan(
         pack_u32=pack_u32,
         scatter_set=scatter_set,
         disp_bits=disp_bits,
+        al=al,
+        abpad_cap=abpad_cap,
     )
 
 
@@ -445,6 +498,116 @@ def _expand_chunks(
         row_t = jnp.where(lane_valid, row[None, :], m)
         col_t = jnp.where(lane_valid, col, 0)
         val_t = jnp.where(lane_valid, val, 0.0)
+    return (
+        row_t.reshape(-1).astype(INDEX_DTYPE),
+        col_t.reshape(-1).astype(INDEX_DTYPE),
+        val_t.reshape(-1),
+    )
+
+
+def _expand_aligned(
+    a: CSR, b: CSR, al: int, chunks_cap: int, abpad_cap: int,
+    wide_min: int = 0, scatter_set: bool = False,
+):
+    """Stages 1-2 via the al-ALIGNED packed-table row gather.
+
+    Same chunk-metadata propagation as _expand_chunks, but products arrive
+    as whole (2*al)-int32 rows of an al-aligned interleaved (col, val-bits)
+    copy of B — al pairs per gather descriptor (~182 M desc/s at al=8 =
+    2.9 G elem/s, scripts/micro_packwidth.py) instead of one pair per
+    descriptor. The aligned table is built IN-GRAPH by one pair-gather of
+    abpad_cap descriptors plus two m_b-sized scatters (a scatter build
+    would cost 2*nnzB descriptors). Alignment pad lanes read neighbouring
+    garbage and are masked by rem exactly like narrow-chunk tails.
+    Requires 32-bit-packable values (the plan guarantees this).
+
+    Returns flat (row, col, val) of shape (chunks_cap * al,); invalid slots
+    carry row == m. wide_min > 0 skips entries whose B row has
+    len >= wide_min (they expand via _expand_wide instead).
+    """
+    m = a.m
+    nrows_tbl = abpad_cap // al
+
+    # ---- aligned packed table (in-graph: values are runtime data) --------
+    b_len_all = b.row_lengths().astype(INDEX_DTYPE)  # (m_b,)
+    sel = (b_len_all < wide_min) if wide_min else jnp.ones_like(
+        b_len_all, jnp.bool_
+    )
+    ws = jnp.where(sel, ((b_len_all + al - 1) // al) * al, 0)
+    pstart = jnp.concatenate(
+        [jnp.zeros((1,), INDEX_DTYPE), jnp.cumsum(ws)]
+    )[:-1]  # (m_b,) aligned start (in pairs) per B row
+    # table row -> B row map: one m_b-sized scatter (+1 at each row's first
+    # table row; ws==0 rows stack at the next start, cumsum skips them)
+    tstart = pstart // al
+    hits = jnp.zeros(nrows_tbl, INDEX_DTYPE).at[tstart[1:]].add(
+        1, mode="drop"
+    )
+    rowid = jnp.cumsum(hits)  # (nrows_tbl,)
+    base_off = b.rowptr[:-1].astype(INDEX_DTYPE) - pstart  # per-B-row const
+    t_ids = jnp.arange(nrows_tbl, dtype=INDEX_DTYPE)
+    src0 = base_off[rowid] + t_ids * al  # first source pair per table row
+    lane = jnp.arange(al, dtype=INDEX_DTYPE)
+    src2 = jnp.clip(src0[:, None] + lane[None, :], 0, b.capacity - 1)
+    b_packed = jnp.stack(
+        [
+            b.colidx.astype(jnp.int32),
+            jax.lax.bitcast_convert_type(b.vals.astype(F32), jnp.int32),
+        ],
+        axis=1,
+    )  # (capB, 2)
+    tbl = b_packed[src2.reshape(-1), :].reshape(nrows_tbl, 2 * al)
+
+    # ---- chunk stream over A entries (same delta propagation) ------------
+    a_rows = a.row_ids()
+    entry_valid = a_rows < m
+    # ONE packed (m_b, 2) gather per A entry gives the aligned start AND the
+    # row length (the narrow path's rowptr-pair analogue)
+    meta_pair = jnp.stack([pstart, b_len_all], axis=1)  # (m_b, 2)
+    pair = meta_pair[a.colidx, :]
+    p_start = pair[:, 0]
+    per_nz = jnp.where(entry_valid, pair[:, 1], 0)
+    if wide_min:
+        per_nz = jnp.where(per_nz >= wide_min, 0, per_nz)
+    n_chunks_per = (per_nz + (al - 1)) // al
+    if scatter_set:
+        n_chunks_per = jnp.where(
+            entry_valid, jnp.maximum(n_chunks_per, 1), 0
+        )
+    ends = jnp.cumsum(n_chunks_per)
+    starts = ends - n_chunks_per
+    total_chunks = ends[-1] if a.capacity else jnp.zeros((), INDEX_DTYPE)
+    c_ids = jnp.arange(chunks_cap, dtype=INDEX_DTYPE)
+    chunk_valid = c_ids < total_chunks
+
+    arp = a.rowptr.astype(INDEX_DTYPE)
+    row_chunk_start = jnp.where(arp > 0, ends[jnp.maximum(arp - 1, 0)], 0)
+    hits_r = jnp.zeros(chunks_cap, INDEX_DTYPE).at[row_chunk_start[1:]].add(
+        1, mode="drop"
+    )
+    row = jnp.cumsum(hits_r)
+
+    q_posb = p_start - al * starts
+    q_remb = per_nz + al * starts
+    q_aval = jax.lax.bitcast_convert_type(a.vals.astype(F32), jnp.int32)
+    posb, remb, aval_bits = _propagate_entry_consts(
+        starts, (q_posb, q_remb, q_aval), chunks_cap, use_set=scatter_set
+    )
+    a_val = jax.lax.bitcast_convert_type(aval_bits, F32)
+    pos = posb + al * c_ids  # al-aligned for valid chunks
+    rem = remb - al * c_ids
+
+    trow = jnp.clip(pos // al, 0, nrows_tbl - 1)
+    out = tbl[trow, :]  # (chunks_cap, 2*al) — al pairs per descriptor
+    col = out[:, 0::2]
+    b_val = jax.lax.bitcast_convert_type(out[:, 1::2], F32)
+    val = b_val * a_val[:, None]
+    lane_valid = chunk_valid[:, None] & (lane[None, :] < rem[:, None])
+    row_t = jnp.where(lane_valid, row[:, None], m)
+    col_t = jnp.where(lane_valid, col, 0)
+    # products stay f32 like the narrow path (runsum accumulates in f32 for
+    # bf16/f16 inputs; merge_products casts back at the end)
+    val_t = jnp.where(lane_valid, val, 0.0)
     return (
         row_t.reshape(-1).astype(INDEX_DTYPE),
         col_t.reshape(-1).astype(INDEX_DTYPE),
@@ -787,10 +950,16 @@ def merge_products(row, col, val, m: int, n: int, out_cap: int,
 def spgemm_chunked(a: CSR, b: CSR, plan: ChunkedPlan) -> CSR:
     """C = A @ B, one dispatch, sort-based merge (see module docstring)."""
     m, n = a.m, b.n
-    row, col, val = _expand_chunks(
-        a, b, plan.k, plan.chunks_cap, b_pack=plan.b_pack,
-        wide_min=plan.wide_min, scatter_set=plan.scatter_set,
-    )
+    if plan.al:
+        row, col, val = _expand_aligned(
+            a, b, plan.al, plan.chunks_cap, plan.abpad_cap,
+            wide_min=plan.wide_min, scatter_set=plan.scatter_set,
+        )
+    else:
+        row, col, val = _expand_chunks(
+            a, b, plan.k, plan.chunks_cap, b_pack=plan.b_pack,
+            wide_min=plan.wide_min, scatter_set=plan.scatter_set,
+        )
     if plan.wide_min:
         row_w, col_w, val_w = _expand_wide(
             a, b, plan.wide_min, plan.wchunks_cap, plan.bpad_cap,

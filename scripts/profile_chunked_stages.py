@@ -38,10 +38,18 @@ K_ITERS = 8
 
 
 def _expand(a, b, plan):
-    row, col, val = _expand_chunks(
-        a, b, plan.k, plan.chunks_cap, b_pack=plan.b_pack,
-        wide_min=plan.wide_min,
-    )
+    if plan.al:
+        from benchmark_spgemm_using_csr_tpu.ops.chunked import _expand_aligned
+
+        row, col, val = _expand_aligned(
+            a, b, plan.al, plan.chunks_cap, plan.abpad_cap,
+            wide_min=plan.wide_min, scatter_set=plan.scatter_set,
+        )
+    else:
+        row, col, val = _expand_chunks(
+            a, b, plan.k, plan.chunks_cap, b_pack=plan.b_pack,
+            wide_min=plan.wide_min,
+        )
     if plan.wide_min:
         rw, cw, vw = _expand_wide(
             a, b, plan.wide_min, plan.wchunks_cap, plan.bpad_cap,

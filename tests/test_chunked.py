@@ -76,6 +76,47 @@ def test_chunked_empty_rows_mixed():
     assert_csr_equal(c, spgemm_reference(a, a), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("name", list(MATRICES))
+@pytest.mark.parametrize("al", [2, 8])
+def test_chunked_aligned_expansion(name, al):
+    """Explicit al forces the aligned packed-table row-gather expansion."""
+    a = CSR.from_scipy(MATRICES[name]())
+    plan = make_chunked_plan(a, a, al=al)
+    assert plan.al == al and plan.abpad_cap % al == 0
+    c = spgemm_chunked(a, a, plan)
+    assert_csr_equal(c, spgemm_reference(a, a), rtol=1e-4, atol=1e-5)
+
+
+def test_chunked_aligned_rectangular():
+    a = random_csr(100, 60, density=0.1, seed=1)
+    b = random_csr(60, 140, density=0.08, seed=2)
+    plan = make_chunked_plan(a, b, al=8)
+    c = spgemm_chunked(a, b, plan)
+    assert_csr_equal(c, spgemm_reference(a, b), rtol=1e-4, atol=1e-5)
+
+
+def test_chunked_aligned_with_wide_path():
+    """Aligned short-row expansion composes with the wide long-row path."""
+    a = CSR.from_scipy(
+        generators.power_law(400, 400, alpha=1.7, max_deg=300, seed=11)
+    )
+    plan = make_chunked_plan(a, a, al=8, wide_min=64)
+    assert plan.al == 8 and plan.wide_min == 64 and plan.wchunks_cap > 0
+    c = spgemm_chunked(a, a, plan)
+    assert_csr_equal(c, spgemm_reference(a, a), rtol=1e-4, atol=1e-5)
+
+
+def test_chunked_aligned_bf16():
+    import jax.numpy as jnp
+
+    a = CSR.from_scipy(MATRICES["er"]())
+    a = CSR(a.rowptr, a.colidx, a.vals.astype(jnp.bfloat16), a.shape)
+    plan = make_chunked_plan(a, a, al=8)
+    c = spgemm_chunked(a, a, plan)
+    assert c.vals.dtype == jnp.bfloat16
+    assert_csr_equal(c, spgemm_reference(a, a), rtol=5e-2, atol=5e-2)
+
+
 def test_disp_bits_bound_high_duplication():
     """disp_bits (plan-time exact duplicate count) must bound the shift
     compaction even when nearly every product is a duplicate (poisson
