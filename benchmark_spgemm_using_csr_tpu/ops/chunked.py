@@ -118,10 +118,23 @@ class ChunkedPlan:
     # of abpad_cap descriptors (scatter builds cost 2*nnzB descriptors).
     al: int = 0
     abpad_cap: int = 0  # aligned-table capacity in pairs (multiple of al)
+    # Mixed-mode expansion: when al > 0 AND al_min > 0, entries whose B row
+    # has len < al_min expand via the NARROW per-pair path (k=1, zero
+    # padding waste) while al_min <= len < wide_min rides the aligned
+    # table. Power-law matrices mix many len-1..4 B rows (which would
+    # inflate 2-8x under al=8 padding) with mid rows where the 8-pair
+    # descriptor pays off; the plan picks al_min from the exact length
+    # histogram. 0 = single-mode (all short rows take one path).
+    al_min: int = 0
+    nchunks_cap: int = 0  # narrow-substream chunk capacity (k=1 chunks)
 
     @property
     def prod_cap(self) -> int:
-        return self.chunks_cap * self.k + self.wchunks_cap * self.wide_lanes
+        return (
+            self.chunks_cap * self.k
+            + self.nchunks_cap
+            + self.wchunks_cap * self.wide_lanes
+        )
 
 
 def pad_gentle(n: int, minimum: int = 8) -> int:
@@ -135,6 +148,7 @@ def pad_gentle(n: int, minimum: int = 8) -> int:
 def make_chunked_plan(
     a: CSR, b: CSR, k: int | None = None, wide_min: int | None = None,
     wide_lanes: int = WIDE_LANES, al: int | None = None,
+    al_min: int | None = None,
 ) -> ChunkedPlan:
     nnz_ct = np.asarray(jax.jit(nnz_upper_bound)(a, b))
     b_len = np.diff(np.asarray(b.rowptr))
@@ -202,6 +216,7 @@ def make_chunked_plan(
     SORT_NS, PAIR_NS, CHUNK_NS = 3.9, 5.5, 1.0
     al_packable = a.vals.dtype in (jnp.float32, jnp.bfloat16, jnp.float16)
     abpad_cap = 0
+    blen_nw = b_len[b_len < wide_min] if use_wide else b_len
 
     def _narrow_cost(c):
         ch = int(np.ceil(lens / c).sum())
@@ -210,6 +225,8 @@ def make_chunked_plan(
     if al:  # explicit aligned width
         if k is None:
             k = al
+        if al_min is None:
+            al_min = 0
     elif k is None and lens.size:
         mean_len = max(float(lens.mean()), 1.0)
         n_cands = sorted(
@@ -219,10 +236,16 @@ def make_chunked_plan(
         )
         best = min((_narrow_cost(c), 0, c) for c in n_cands)
         if al is None and al_packable:
-            blen_short = b_len[b_len < wide_min] if use_wide else b_len
+            # Mixed mode (al_min > 0: tiny rows narrow, mid rows aligned)
+            # is deliberately NOT swept here: on-chip full-pipeline A/Bs
+            # (scripts/ab_mixed.py, 2026-08-18 — powerlaw/er/circuit) show
+            # the second propagation substream roughly doubles the metadata
+            # stage and forfeits scatter-SET (dummy-slot blowup), losing
+            # 20-50% end-to-end on every tested matrix vs the best pure
+            # mode. It remains available via explicit al/al_min arguments.
             for w, rate in AL_DESC_RATES.items():
                 ch = int(np.ceil(lens / w).sum())
-                bpad_w = int((np.ceil(blen_short / w) * w).sum())
+                bpad_w = int((np.ceil(blen_nw / w) * w).sum())
                 layout_ns = 0.085 * (128 / (2 * w))
                 cost = (
                     (SORT_NS + 1e9 / (w * rate) + layout_ns) * ch * w
@@ -232,7 +255,9 @@ def make_chunked_plan(
                 if cost < best[0]:
                     best = (cost, w, w)
         _, al, k = best
+        al_min = 0
     al = al or 0
+    al_min = (al_min or 0) if al else 0
     if al and not al_packable:
         raise ValueError("aligned expansion requires 32-bit-packable values")
     if k is None:
@@ -240,21 +265,41 @@ def make_chunked_plan(
     k = min(k, b.capacity)
     if al:
         al = k
-        blen_short = b_len[b_len < wide_min] if use_wide else b_len
-        bpad = int((np.ceil(blen_short / al) * al).sum())
+        mask_mid = blen_nw >= al_min if al_min else np.ones(
+            blen_nw.shape, bool
+        )
+        bpad = int((np.ceil(blen_nw[mask_mid] / al) * al).sum())
         abpad_cap = max(
             -(-pad_gentle(max(bpad, 1)) // al) * al, al
         )
-    # chunks: per A entry ceil(len(B_col)/K); bound via per-row sums
-    chunks = int(np.ceil(lens / k).sum()) if nnz_a else 0
+    # chunks: per A entry ceil(len(B_col)/K); bound via per-row sums.
+    # Mixed mode: aligned chunks over len >= al_min, narrow k=1 chunks over
+    # len < al_min (a separate substream with its own capacity).
+    if al and al_min:
+        chunks = int(np.ceil(lens[lens >= al_min] / al).sum())
+        nchunks = int(lens[lens < al_min].sum())
+    else:
+        chunks = int(np.ceil(lens / k).sum()) if nnz_a else 0
+        nchunks = 0
     # scatter-SET propagation needs every entry (incl. capacity padding) to
-    # own >= 1 chunk; enable when those dummy chunks stay a small fraction
+    # own >= 1 chunk IN EACH substream it is propagated over; enable when
+    # those dummy slots stay a small fraction of the product stream
     n_zero_len = int((lens == 0).sum()) if nnz_a else 0
     n_wide_e = int(wide_mask.sum()) if wide_min else 0
-    extra_chunks = n_zero_len + n_wide_e  # capacity padding needs no dummy
-    scatter_set = extra_chunks <= max(chunks // 16, 64)
-    if scatter_set:
-        chunks += extra_chunks
+    if al and al_min:
+        nd_aligned = int((lens < al_min).sum()) + n_wide_e
+        nd_narrow = int((lens >= al_min).sum()) + n_zero_len + n_wide_e
+        extra_slots = nd_aligned * al + nd_narrow
+        total_slots = chunks * al + nchunks
+        scatter_set = extra_slots <= max(total_slots // 16, 64)
+        if scatter_set:
+            chunks += nd_aligned
+            nchunks += nd_narrow
+    else:
+        extra_chunks = n_zero_len + n_wide_e  # capacity padding: no dummy
+        scatter_set = extra_chunks <= max(chunks // 16, 64)
+        if scatter_set:
+            chunks += extra_chunks
     # duplicates of one (row, col) are bounded by that A-row's nnz
     a_len_max = int(np.diff(np.asarray(a.rowptr)).max(initial=1))
 
@@ -299,6 +344,8 @@ def make_chunked_plan(
         disp_bits=disp_bits,
         al=al,
         abpad_cap=abpad_cap,
+        al_min=al_min,
+        nchunks_cap=pad_gentle(max(nchunks, 1)) if (al and al_min) else 0,
     )
 
 
@@ -507,7 +554,7 @@ def _expand_chunks(
 
 def _expand_aligned(
     a: CSR, b: CSR, al: int, chunks_cap: int, abpad_cap: int,
-    wide_min: int = 0, scatter_set: bool = False,
+    wide_min: int = 0, scatter_set: bool = False, al_min: int = 0,
 ):
     """Stages 1-2 via the al-ALIGNED packed-table row gather.
 
@@ -523,7 +570,9 @@ def _expand_aligned(
 
     Returns flat (row, col, val) of shape (chunks_cap * al,); invalid slots
     carry row == m. wide_min > 0 skips entries whose B row has
-    len >= wide_min (they expand via _expand_wide instead).
+    len >= wide_min (they expand via _expand_wide instead); al_min > 0
+    skips entries with len < al_min (the narrow k=1 substream takes them —
+    mixed mode, ChunkedPlan.al_min).
     """
     m = a.m
     nrows_tbl = abpad_cap // al
@@ -533,6 +582,8 @@ def _expand_aligned(
     sel = (b_len_all < wide_min) if wide_min else jnp.ones_like(
         b_len_all, jnp.bool_
     )
+    if al_min:
+        sel = sel & (b_len_all >= al_min)
     ws = jnp.where(sel, ((b_len_all + al - 1) // al) * al, 0)
     pstart = jnp.concatenate(
         [jnp.zeros((1,), INDEX_DTYPE), jnp.cumsum(ws)]
@@ -569,6 +620,8 @@ def _expand_aligned(
     per_nz = jnp.where(entry_valid, pair[:, 1], 0)
     if wide_min:
         per_nz = jnp.where(per_nz >= wide_min, 0, per_nz)
+    if al_min:
+        per_nz = jnp.where(per_nz < al_min, 0, per_nz)
     n_chunks_per = (per_nz + (al - 1)) // al
     if scatter_set:
         n_chunks_per = jnp.where(
@@ -954,7 +1007,18 @@ def spgemm_chunked(a: CSR, b: CSR, plan: ChunkedPlan) -> CSR:
         row, col, val = _expand_aligned(
             a, b, plan.al, plan.chunks_cap, plan.abpad_cap,
             wide_min=plan.wide_min, scatter_set=plan.scatter_set,
+            al_min=plan.al_min,
         )
+        if plan.al_min:
+            # mixed mode: B rows with len < al_min ride the narrow k=1
+            # per-pair gather (zero padding waste for tiny rows)
+            row_n, col_n, val_n = _expand_chunks(
+                a, b, 1, plan.nchunks_cap, wide_min=plan.al_min,
+                scatter_set=plan.scatter_set,
+            )
+            row = jnp.concatenate([row, row_n])
+            col = jnp.concatenate([col, col_n])
+            val = jnp.concatenate([val, val_n.astype(val.dtype)])
     else:
         row, col, val = _expand_chunks(
             a, b, plan.k, plan.chunks_cap, b_pack=plan.b_pack,

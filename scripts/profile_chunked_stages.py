@@ -44,7 +44,16 @@ def _expand(a, b, plan):
         row, col, val = _expand_aligned(
             a, b, plan.al, plan.chunks_cap, plan.abpad_cap,
             wide_min=plan.wide_min, scatter_set=plan.scatter_set,
+            al_min=plan.al_min,
         )
+        if plan.al_min:
+            rn, cn, vn = _expand_chunks(
+                a, b, 1, plan.nchunks_cap, wide_min=plan.al_min,
+                scatter_set=plan.scatter_set,
+            )
+            row = jnp.concatenate([row, rn])
+            col = jnp.concatenate([col, cn])
+            val = jnp.concatenate([val, vn.astype(val.dtype)])
     else:
         row, col, val = _expand_chunks(
             a, b, plan.k, plan.chunks_cap, b_pack=plan.b_pack,

@@ -106,6 +106,37 @@ def test_chunked_aligned_with_wide_path():
     assert_csr_equal(c, spgemm_reference(a, a), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("name", list(MATRICES))
+def test_chunked_mixed_mode(name):
+    """al_min splits expansion: B rows len < al_min narrow, rest aligned."""
+    a = CSR.from_scipy(MATRICES[name]())
+    plan = make_chunked_plan(a, a, al=8, al_min=5)
+    assert plan.al == 8 and plan.al_min == 5 and plan.nchunks_cap > 0
+    c = spgemm_chunked(a, a, plan)
+    assert_csr_equal(c, spgemm_reference(a, a), rtol=1e-4, atol=1e-5)
+
+
+def test_chunked_mixed_with_wide():
+    """All three substreams (narrow + aligned + wide) in one pipeline."""
+    a = CSR.from_scipy(
+        generators.power_law(400, 400, alpha=1.7, max_deg=300, seed=11)
+    )
+    plan = make_chunked_plan(a, a, al=8, al_min=5, wide_min=64)
+    assert plan.al_min == 5 and plan.wide_min == 64 and plan.wchunks_cap > 0
+    c = spgemm_chunked(a, a, plan)
+    assert_csr_equal(c, spgemm_reference(a, a), rtol=1e-4, atol=1e-5)
+
+
+def test_chunked_auto_plan_powerlaw_mixed_correct():
+    """Whatever the cost model picks for a power-law mix must be correct."""
+    a = CSR.from_scipy(
+        generators.power_law(2048, 2048, alpha=2.0, max_deg=256, seed=5)
+    )
+    plan = make_chunked_plan(a, a)
+    c = spgemm_chunked(a, a, plan)
+    assert_csr_equal(c, spgemm_reference(a, a), rtol=1e-4, atol=1e-5)
+
+
 def test_chunked_aligned_bf16():
     import jax.numpy as jnp
 
