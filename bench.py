@@ -136,6 +136,27 @@ def main() -> None:
 
         return run
 
+    def k_loop_tilepack(sched):
+        from benchmark_spgemm_using_csr_tpu.ops.tilepack import (
+            spgemm_tilepack,
+        )
+
+        @jax.jit
+        def run(a):
+            def body(a_c, _):
+                c = spgemm_tilepack(a_c, a_c, sched)
+                eps = runtime_zero_probe(
+                    c.rowptr, c.colidx, c.vals
+                ).astype(a_c.vals.dtype)
+                a_next = CSR(
+                    a_c.rowptr, a_c.colidx, a_c.vals + eps, a_c.shape
+                )
+                return a_next, c.rowptr[-1]
+            _, outs = jax.lax.scan(body, a, None, length=K_ITERS)
+            return outs
+
+        return run
+
     def k_loop_bsr(a_b, b_b, bplan):
         @jax.jit
         def run(a_blocks):
@@ -160,7 +181,22 @@ def main() -> None:
         use_dia = method == "dia"
         use_bsr = method == "bsr"
         use_dense = method == "dense"
-        if use_dia:
+        if method == "tilepack":
+            from benchmark_spgemm_using_csr_tpu.ops.tilepack import (
+                make_tilepack_plan,
+                spgemm_tilepack,
+            )
+
+            sched = make_tilepack_plan(a, a)
+            if sched is None:  # cost model raced the regime gate
+                method = "chunked"
+            else:
+                nnz_c = sched.plan.nnz_c
+                kfn = k_loop_tilepack(sched)
+                arg = a
+        if method == "tilepack":
+            pass
+        elif use_dia:
             a_d = DIA.from_scipy(a_sp)
             csp = dia_spgemm(a_d, a_d).to_scipy().tocsr()
             csp.eliminate_zeros()  # in-plane zeros are not true C entries

@@ -101,6 +101,15 @@ def spgemm(
                 "matrix outside the tiled regime (uniform short rows)"
             )
         c = spgemm_tiled(a, b, tplan)
+    elif method == "tilepack":
+        from .ops.tilepack import make_tilepack_plan, spgemm_tilepack
+
+        sched = make_tilepack_plan(a, b)
+        if sched is None:
+            raise ValueError(
+                "matrix outside the packed-tile regime (short rows)"
+            )
+        c = spgemm_tilepack(a, b, sched)
     else:
         raise ValueError(f"unknown method {method!r}")
     if trim:

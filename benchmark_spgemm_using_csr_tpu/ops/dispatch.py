@@ -28,7 +28,8 @@ from ..sparse.csr import CSR
 #   dense_rows_2k  dense 6.92ms bsr 5.95ms| model 6.58 / 5.78
 #   poisson2d_256  dia 3.47ms bsr 9.19ms  | model 2.79 / 7.50
 #   stencil27_32   dia 6.59ms bsr 10.6ms  | model 5.56 / 9.62
-CHUNKED_NS_PER_PRODUCT = 15.0
+CHUNKED_NS_PER_PRODUCT = 8.0  # aligned-era recalibration (2026-08-18):
+# er (al8) 6.9, circuit (k1+wide) 7.8, powerlaw (k1) 10.6 ns/product
 CHUNKED_FIXED_S = 3.3e-3
 BSR_NS_PER_PAIR = 50.0
 BSR_FIXED_S = 2.5e-3
@@ -117,6 +118,40 @@ def estimate_dense_s(a: CSR) -> float:
     return DENSE_FIXED_S + matmul_s + scatter_s + compact_s
 
 
+def estimate_tilepack_s(a: CSR) -> float:
+    """Packed-tile ESC model (ops/tilepack.py), stage terms measured on-chip
+    2026-08-18: 2 propagation scatters ~130 M desc/s, table + slot gathers
+    ~194-228 M desc/s, Pallas tile kernel ~1.25 G lanes/s, shift compaction
+    ~0.075 ns per lane per displacement-bit pass. Calibration: er_medium
+    model 63.2 ms vs measured 65.4 ms."""
+    rowptr, nnz, row_lens, cols, products = _stats(a)
+    if not nnz:
+        return 0.0
+    if products > (1 << 27):
+        return float("inf")
+    al = 8
+    lens = row_lens[cols]
+    chunks_e = -(-lens // al)
+    cce = np.concatenate([[0], np.cumsum(chunks_e)])
+    row_chunks = cce[rowptr[1:]] - cce[rowptr[:-1]]
+    mx = int(row_chunks.max(initial=0))
+    if al * mx > 2048 or mx == 0:
+        return float("inf")
+    w = max(128, 1 << int(al * mx - 1).bit_length())
+    slots = int(np.ceil(row_chunks.sum() / (w // al) / 0.93)) * (w // al)
+    lanes = slots * al
+    abpad = int((-(-row_lens // al) * al).sum())  # aligned-B table pairs
+    passes = max(int(max(lanes // 4, 1)).bit_length(), 1)
+    return (
+        CHUNKED_FIXED_S
+        + 2 * nnz / 1.30e8
+        + abpad / 2.28e8
+        + slots / 1.94e8
+        + lanes / 1.25e9
+        + passes * lanes * 0.075e-9
+    )
+
+
 def choose_method(a: CSR) -> str:
     """Pick the fastest backend for C = A @ A by measured cost model."""
     *_, products = _stats(a)
@@ -125,5 +160,6 @@ def choose_method(a: CSR) -> str:
         "bsr": estimate_bsr_s(a),
         "dia": estimate_dia_s(a),
         "dense": estimate_dense_s(a),
+        "tilepack": estimate_tilepack_s(a),
     }
     return min(est, key=est.get)
