@@ -12,12 +12,19 @@ loop also excludes.
 Timing methodology: the reported number is **device execution time**,
 measured by scanning K back-to-back full-pipeline iterations inside one
 jitted dispatch (with a runtime data dependency between iterations so XLA
-cannot CSE them) and dividing the wall time by K. This machine reaches its
-TPU through the experimental axon tunnel, which adds a ~26 ms host
-round-trip per dispatch (scripts/micro_bench2.py); amortizing it matches
-the reference's own methodology — cudaEventElapsedTime around kernels also
-excludes launch/driver latency (SURVEY.md §3 component 7). Per-dispatch
-wall-clock (tunnel included) is reported alongside in results.jsonl.
+cannot CSE them). This machine reaches its TPU through the experimental
+axon tunnel, which adds a ~26 ms host round-trip per dispatch
+(scripts/micro_bench2.py). For slow pipelines (body >= ~15 ms) dividing
+the K=8 wall by K leaves a <5 % residual and is reported directly. For
+fast pipelines (DIA/BSR/dense bodies run in well under a millisecond) the
+residual would DOMINATE, so the harness times a second scan of the same
+body at a larger K2 (sized so K2 x body ~ 150 ms) and reports
+(wall(K2) - wall(K)) / (K2 - K): the per-dispatch constant cancels
+exactly — the same two-length in-graph delta CLAUDE.md mandates for all
+on-chip stage timing, and the analogue of the reference's
+cudaEventElapsedTime, which also excludes launch/driver latency
+(SURVEY.md §3 component 7). Per-dispatch wall-clock (tunnel included) is
+reported alongside in results.jsonl.
 
 vs_baseline: no numbers could be extracted from the reference (BASELINE.md:
 "published": {}); we normalize against 1.0 GFlops — the order-of-magnitude
@@ -64,7 +71,7 @@ def main() -> None:
     )
     from benchmark_spgemm_using_csr_tpu.ops.dispatch import choose_method
     from benchmark_spgemm_using_csr_tpu.utils import generators
-    from benchmark_spgemm_using_csr_tpu.utils.timing import bench
+    from benchmark_spgemm_using_csr_tpu.utils.timing import bench_delta
     from benchmark_spgemm_using_csr_tpu.utils.results import write_result
 
     suite = {
@@ -81,7 +88,7 @@ def main() -> None:
 
     from benchmark_spgemm_using_csr_tpu.utils.timing import runtime_zero_probe
 
-    def k_loop_chunked(a, plan):
+    def k_loop_chunked(a, plan, k=K_ITERS):
         """K full pipelines in one dispatch; iteration i+1's A values carry
         a runtime-zero probe of EVERY output array of iteration i, so XLA
         cannot collapse the scan into one iteration NOR dead-code-eliminate
@@ -99,12 +106,12 @@ def main() -> None:
                     a_c.rowptr, a_c.colidx, a_c.vals + eps, a_c.shape
                 )
                 return a_next, c.rowptr[-1]
-            _, outs = jax.lax.scan(body, a, None, length=K_ITERS)
+            _, outs = jax.lax.scan(body, a, None, length=k)
             return outs
 
         return run
 
-    def k_loop_dia(a_d):
+    def k_loop_dia(a_d, k=K_ITERS):
         """DIA path: like the BSR loop, the product stays in the format's
         own container (diagonal planes == C's values; offsets are static
         structure, the rowptr/colidx analogue)."""
@@ -116,12 +123,12 @@ def main() -> None:
                 c = dia_spgemm(a_i, a_i)
                 eps = runtime_zero_probe(c.data.reshape(-1)).astype(plane.dtype)
                 return plane + eps, c.data[0, 0]
-            _, outs = jax.lax.scan(body, a_plane, None, length=K_ITERS)
+            _, outs = jax.lax.scan(body, a_plane, None, length=k)
             return outs
 
         return run
 
-    def k_loop_dense(dplan):
+    def k_loop_dense(dplan, k=K_ITERS):
         @jax.jit
         def run(a):
             def body(a_c, _):
@@ -131,12 +138,12 @@ def main() -> None:
                     a_c.rowptr, a_c.colidx, a_c.vals + eps, a_c.shape
                 )
                 return a_next, c.vals[0]
-            _, outs = jax.lax.scan(body, a, None, length=K_ITERS)
+            _, outs = jax.lax.scan(body, a, None, length=k)
             return outs
 
         return run
 
-    def k_loop_tilepack(sched):
+    def k_loop_tilepack(sched, k=K_ITERS):
         from benchmark_spgemm_using_csr_tpu.ops.tilepack import (
             spgemm_tilepack,
         )
@@ -152,12 +159,12 @@ def main() -> None:
                     a_c.rowptr, a_c.colidx, a_c.vals + eps, a_c.shape
                 )
                 return a_next, c.rowptr[-1]
-            _, outs = jax.lax.scan(body, a, None, length=K_ITERS)
+            _, outs = jax.lax.scan(body, a, None, length=k)
             return outs
 
         return run
 
-    def k_loop_bsr(a_b, b_b, bplan):
+    def k_loop_bsr(a_b, b_b, bplan, k=K_ITERS):
         @jax.jit
         def run(a_blocks):
             def body(blocks, _):
@@ -167,7 +174,7 @@ def main() -> None:
                     c.rowptr, c.colidx, c.blocks.reshape(-1)
                 ).astype(blocks.dtype)
                 return blocks + eps, c.rowptr[-1]
-            _, outs = jax.lax.scan(body, a_blocks, None, length=K_ITERS)
+            _, outs = jax.lax.scan(body, a_blocks, None, length=k)
             return outs
 
         return run
@@ -192,21 +199,23 @@ def main() -> None:
                 method = "chunked"
             else:
                 nnz_c = sched.plan.nnz_c
-                kfn = k_loop_tilepack(sched)
+                kfac = lambda k=K_ITERS: k_loop_tilepack(sched, k)
                 arg = a
         if method == "tilepack":
             pass
         elif use_dia:
             a_d = DIA.from_scipy(a_sp)
-            csp = dia_spgemm(a_d, a_d).to_scipy().tocsr()
+            c_d = dia_spgemm(a_d, a_d)
+            roof_extra = (a_d.data.shape[0], c_d.data.shape[0])
+            csp = c_d.to_scipy().tocsr()
             csp.eliminate_zeros()  # in-plane zeros are not true C entries
             nnz_c = int(csp.nnz)
-            kfn = k_loop_dia(a_d)
+            kfac = lambda k=K_ITERS: k_loop_dia(a_d, k)
             arg = a_d.data
         elif use_dense:
             dplan = make_dense_plan(a, a)
             nnz_c = dplan.nnz_c
-            kfn = k_loop_dense(dplan)
+            kfac = lambda k=K_ITERS: k_loop_dense(dplan, k)
             arg = a
         elif use_bsr:
             a_b = BSR.from_scipy(a_sp, block_shape=(8, 128))
@@ -215,12 +224,18 @@ def main() -> None:
             csp = bsr_spgemm(a_b, b_b, bplan).to_scipy().tocsr()
             csp.eliminate_zeros()  # in-block zeros are not true C entries
             nnz_c = int(csp.nnz)
-            kfn = k_loop_bsr(a_b, b_b, bplan)
+            nnzb_c = len({(i // 8, j // 128)
+                          for i, j in zip(*csp.nonzero())})
+            roof_extra = (bplan.pairs_cap,
+                          int(np.asarray(a_b.rowptr)[-1]),
+                          int(np.asarray(b_b.rowptr)[-1]),
+                          nnzb_c)
+            kfac = lambda k=K_ITERS: k_loop_bsr(a_b, b_b, bplan, k)
             arg = a_b.blocks
         else:
             plan = make_chunked_plan(a, a)
             nnz_c = int(np.asarray(spgemm_chunked(a, a, plan).rowptr)[-1])
-            kfn = k_loop_chunked(a, plan)
+            kfac = lambda k=K_ITERS: k_loop_chunked(a, plan, k)
             arg = a
 
         # each run gets distinct value bits: the axon tunnel short-circuits
@@ -234,21 +249,37 @@ def main() -> None:
                     arg.vals + jnp.asarray(1e-6 * i, arg.vals.dtype),
                     arg.shape),
             )
-        res_k = bench(kfn, name=name, warmup=1, runs=3,
-                      flops=flops * K_ITERS, vary=vary)
-        device_s = res_k.mean_s / K_ITERS
+        # fast bodies get the two-length delta so the ~26 ms dispatch
+        # residual cancels exactly (module docstring; utils/timing.py)
+        device_s, k2 = bench_delta(
+            kfac, vary, k1=K_ITERS, name=name, flops=flops
+        )
 
         # speed-of-light fraction (analytic minimum HBM traffic / measured)
         from benchmark_spgemm_using_csr_tpu.utils.roofline import (
+            bsr_stage_models,
+            dense_stage_models,
+            dia_stage_models,
             roofline_report,
             spgemm_stage_models,
         )
 
         nnz_a = int(np.asarray(a.rowptr)[-1])
-        models = spgemm_stage_models(
-            nnz_a=nnz_a, nnz_b=nnz_a, m=a.m,
-            total_products=flops // 2, nnz_c=nnz_c,
-        )
+        # format-aware speed-of-light: each backend is measured against the
+        # minimum traffic of ITS OWN algorithm, not the generic CSR pipeline
+        if use_dia:
+            models = dia_stage_models(*roof_extra, n=a.n)
+        elif use_bsr:
+            models = bsr_stage_models(*roof_extra)
+        elif use_dense:
+            models = dense_stage_models(
+                a.m, a.n, a.n, nnz_a=nnz_a, nnz_c=nnz_c
+            )
+        else:
+            models = spgemm_stage_models(
+                nnz_a=nnz_a, nnz_b=nnz_a, m=a.m,
+                total_products=flops // 2, nnz_c=nnz_c,
+            )
         sol = roofline_report(models, total_time_s=device_s)["_total"]
         per_matrix[name] = {
             "gflops": flops / device_s / 1e9,
@@ -257,11 +288,14 @@ def main() -> None:
             "flops": flops,
             "nnz_c": nnz_c,
             "method": method,
+            "k2_delta": k2,
             "sol_fraction": round(float(sol.get("sol_fraction", 0.0)), 4),
         }
         write_result(
             "results.jsonl",
-            {"matrix": name, "config": f"C=A*A 1chip K{K_ITERS}-amortized",
+            {"matrix": name,
+             "config": (f"C=A*A 1chip K{K_ITERS}-amortized" if not k2
+                        else f"C=A*A 1chip delta(K{k2},K{K_ITERS})"),
              **per_matrix[name]},
         )
 

@@ -42,8 +42,10 @@ def dia_spgemm(a: DIA, b: DIA) -> DIA:
     if k != k2:
         raise ValueError(f"inner dims mismatch: {a.shape} @ {b.shape}")
     off_c = sorted({d1 + d2 for d1 in a.offsets for d2 in b.offsets})
-    slot = {d: s for s, d in enumerate(off_c)}
     out_dtype = jnp.result_type(a.dtype, b.dtype)
+    if not off_c:  # either operand all-zero (no stored diagonals)
+        return DIA(jnp.zeros((1, n), out_dtype), (0,), (m, n))
+    slot = {d: s for s, d in enumerate(off_c)}
 
     # pad A's planes so every shifted read A[d1, j - d2], j in [0, n) is a
     # static in-bounds slice; out-of-plane reads are zeros by construction

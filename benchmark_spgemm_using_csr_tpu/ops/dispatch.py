@@ -20,23 +20,24 @@ import numpy as np
 
 from ..sparse.csr import CSR
 
-# measured constants (see BASELINE.md history; re-calibrate on new hardware)
-# *_FIXED_S are per-pipeline-invocation op-count overheads: the chunked body
-# carries ~3.3 ms fixed (CLAUDE.md), the other pipelines ~2.5 ms (A/B table
-# below). Calibration set (scripts/ab_dispatch.py, on-chip 2026-08-18):
-#   banded_16k     dia 3.90ms bsr 3.87ms  | model 4.15 / 2.88
-#   dense_rows_2k  dense 6.92ms bsr 5.95ms| model 6.58 / 5.78
-#   poisson2d_256  dia 3.47ms bsr 9.19ms  | model 2.79 / 7.50
-#   stencil27_32   dia 6.59ms bsr 10.6ms  | model 5.56 / 9.62
+# measured constants (see BASELINE.md history; re-calibrate on new hardware).
+# 2026-08-18 delta-timing recalibration: the old *_FIXED_S of 2.5-3.3 ms were
+# NOT body cost — they were the ~26 ms axon dispatch round-trip / K=8 leaking
+# into wall/K quotients (utils/timing.bench_delta cancels it). True
+# per-invocation fixed costs are < 0.1 ms. Delta-timed calibration points:
+#   poisson2d_256  dia 0.149 ms (nd=5,  n=65536) | model 0.26
+#   stencil27_32   dia 3.02  ms (nd=27, n=32768) | model 3.00
+#   banded_16k     bsr 0.233 ms (~7.6k pairs)    | model 0.30
+#   dense_rows_2k  bsr 2.38  ms (~66k pairs)     | model 2.33
 CHUNKED_NS_PER_PRODUCT = 8.0  # aligned-era recalibration (2026-08-18):
-# er (al8) 6.9, circuit (k1+wide) 7.8, powerlaw (k1) 10.6 ns/product
-CHUNKED_FIXED_S = 3.3e-3
-BSR_NS_PER_PAIR = 50.0
-BSR_FIXED_S = 2.5e-3
-DENSE_FIXED_S = 2.5e-3
-DIA_FIXED_S = 2.5e-3
-DIA_NS_PER_SLOT = 0.1
-DIA_OP_OVERHEAD_S = 25e-6
+# er (al8) 6.5, circuit (k1+wide) 8.4, powerlaw (k1) 10.9 ns/product (true)
+CHUNKED_FIXED_S = 0.1e-3
+BSR_NS_PER_PAIR = 35.0
+BSR_FIXED_S = 0.03e-3
+DENSE_FIXED_S = 0.3e-3
+DIA_FIXED_S = 0.05e-3
+DIA_NS_PER_SLOT = 0.121
+DIA_OP_OVERHEAD_S = 3e-6
 MXU_F32_HIGHEST_FLOPS = 3.0e13
 # descriptor-bound like gathers: measured ~138 M desc/s (CLAUDE.md)
 SCATTER_DESC_PER_S = 1.38e8
@@ -155,6 +156,8 @@ def estimate_tilepack_s(a: CSR) -> float:
 def choose_method(a: CSR) -> str:
     """Pick the fastest backend for C = A @ A by measured cost model."""
     *_, products = _stats(a)
+    if products == 0:
+        return "chunked"  # degenerate product; every estimate ties at ~0
     est = {
         "chunked": estimate_chunked_s(a, products),
         "bsr": estimate_bsr_s(a),

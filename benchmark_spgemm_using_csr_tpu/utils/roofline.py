@@ -97,6 +97,79 @@ def spgemm_stage_models(
     }
 
 
+def dia_stage_models(
+    nd_a: int, nd_c: int, n: int, itemsize: int = 4
+) -> dict[str, StageModel]:
+    """DIA SpGEMM (ops/dia.py): C planes are static-shift FMAs of A-plane
+    pairs. Minimum traffic: read the nd_a input planes once, write the nd_c
+    output planes once; each of the nd_a^2 offset pairs is one length-n FMA
+    (2 flops/slot). No gathers — offsets are compile-time structure."""
+    return {
+        "plane_fma": StageModel(
+            "plane_fma",
+            bytes_moved=(nd_a + nd_c) * n * itemsize,
+            flops=2.0 * nd_a * nd_a * n,
+        ),
+    }
+
+
+def bsr_stage_models(
+    pairs: int,
+    nnzb_a: int,
+    nnzb_b: int,
+    nnzb_c: int,
+    block_shape: tuple[int, int] = (8, 128),
+    bn: int = 128,
+    itemsize: int = 4,
+) -> dict[str, StageModel]:
+    """BSR x BSR SpGEMM (ops/bsr.py): batched (bm,bk)x(bk,bn) MXU matmuls
+    over block pairs + segment-sum into C blocks. Minimum traffic: each
+    distinct block read/written ONCE (the implementation materializes
+    per-pair streams — headroom vs this bound is real fusion headroom).
+    Flops charged at 3x: f32 precision=HIGHEST runs ~3 MXU passes."""
+    bm, bk = block_shape
+    return {
+        "block_matmul": StageModel(
+            "block_matmul",
+            bytes_moved=(nnzb_a * bm * bk + nnzb_b * bk * bn
+                         + nnzb_c * bm * bn) * itemsize,
+            flops=3.0 * 2.0 * pairs * bm * bk * bn,
+            descriptors=2.0 * pairs,  # pair-stream gathers of A/B block ids
+        ),
+    }
+
+
+def dense_stage_models(
+    m: int, k: int, n: int, nnz_a: int, nnz_c: int, itemsize: int = 4
+) -> dict[str, StageModel]:
+    """Dense-MXU SpGEMM (ops/dense.py): scatter A into a dense (m,k), full
+    matmul at f32-HIGHEST, extract the nnz_c structural entries."""
+    log_holes = max(int(np.ceil(np.log2(max(m * n - nnz_c, 2)))), 1)
+    return {
+        "scatter_in": StageModel(
+            "scatter_in",
+            bytes_moved=2 * nnz_a * (2 * 4 + itemsize) + m * k * itemsize,
+            flops=0.0,
+            descriptors=2.0 * nnz_a,
+        ),
+        "matmul": StageModel(
+            "matmul",
+            bytes_moved=(m * k + k * n + m * n) * itemsize,
+            # f32 HIGHEST runs ~3 MXU passes of the bf16 rate (measured
+            # ~30 TF/s, ops/dispatch.MXU_F32_HIGHEST_FLOPS): charge the
+            # flops it actually executes so sol reflects the chosen
+            # precision, not a bf16 ceiling it must not use
+            flops=3.0 * 2.0 * m * k * n,
+        ),
+        "extract": StageModel(
+            "extract",
+            bytes_moved=log_holes * m * n * itemsize
+            + nnz_c * (4 + itemsize),
+            flops=0.0,
+        ),
+    }
+
+
 def roofline_report(
     stage_models: dict[str, StageModel],
     stage_times_s: dict[str, float] | None = None,

@@ -71,6 +71,42 @@ def _block(tree):
     )
 
 
+def bench_delta(
+    kfac: Callable[[int], Callable],
+    vary: Callable[[int], tuple],
+    *,
+    k1: int = 8,
+    name: str = "bench",
+    flops: int = 0,
+    runs: int = 3,
+    t_target: float = 0.15,
+    dispatch_floor: float = 0.026,
+    slow_threshold: float = 0.015,
+) -> tuple[float, int]:
+    """Per-iteration device seconds of ``kfac(k)`` — a factory returning a
+    jitted fn that scans k data-dependent pipeline iterations.
+
+    Times kfac(k1) as wall/k1; when the estimated body is fast enough that
+    the ~26 ms axon dispatch round-trip would dominate that quotient, also
+    times kfac(k2) (k2 sized so k2 x body ~ t_target) and returns the
+    two-length delta (wall(k2) - wall(k1)) / (k2 - k1): the per-dispatch
+    constant cancels exactly (CLAUDE.md: only trust in-graph K-scan
+    DELTAS). Returns (seconds_per_iteration, k2_used_or_0)."""
+    r1 = bench(kfac(k1), name=name, warmup=1, runs=runs,
+               flops=flops * k1, vary=vary)
+    per = r1.mean_s / k1
+    t_est = max((r1.mean_s - dispatch_floor) / k1, 2e-5)
+    k2 = 0
+    if t_est < slow_threshold:
+        k2 = int(min(4096, max(4 * k1, round(t_target / t_est))))
+        r2 = bench(kfac(k2), name=f"{name}_k{k2}", warmup=1, runs=runs,
+                   flops=flops * k2, vary=vary)
+        delta = (r2.mean_s - r1.mean_s) / (k2 - k1)
+        if delta > 0:
+            per = delta
+    return per, k2
+
+
 def bench(
     fn: Callable,
     *args,

@@ -1,5 +1,7 @@
 """A/B the dispatch-contested matrices on-chip: banded_16k (dia vs bsr)
-and dense_rows_2k (dense vs bsr). Same K-scan methodology as bench.py."""
+and dense_rows_2k (dense vs bsr). Same two-length K-scan delta methodology
+as bench.py (utils/timing.bench_delta) — the ~26 ms axon dispatch constant
+cancels, so these calibrate the cost model's TRUE per-body terms."""
 from __future__ import annotations
 
 import sys
@@ -21,65 +23,70 @@ def main() -> None:
     from benchmark_spgemm_using_csr_tpu.ops.dia import dia_spgemm
     from benchmark_spgemm_using_csr_tpu.ops.dense import make_dense_plan, spgemm_dense
     from benchmark_spgemm_using_csr_tpu.utils import generators
-    from benchmark_spgemm_using_csr_tpu.utils.timing import bench, runtime_zero_probe
+    from benchmark_spgemm_using_csr_tpu.utils.timing import bench_delta, runtime_zero_probe
 
     def time_bsr(a_sp, flops):
         a_b = BSR.from_scipy(a_sp, block_shape=(8, 128))
         b_b = BSR.from_scipy(a_sp, block_shape=(128, 128))
         bplan = make_bsr_plan(a_b, b_b)
 
-        @jax.jit
-        def run(a_blocks):
-            def body(blocks, _):
-                a_i = BSR(a_b.rowptr, a_b.colidx, blocks, a_b.shape)
-                c = bsr_spgemm(a_i, b_b, bplan)
-                eps = runtime_zero_probe(
-                    c.rowptr, c.colidx, c.blocks.reshape(-1)
-                ).astype(blocks.dtype)
-                return blocks + eps, c.rowptr[-1]
-            _, outs = jax.lax.scan(body, a_blocks, None, length=K_ITERS)
-            return outs
+        def kfac(k):
+            @jax.jit
+            def run(a_blocks):
+                def body(blocks, _):
+                    a_i = BSR(a_b.rowptr, a_b.colidx, blocks, a_b.shape)
+                    c = bsr_spgemm(a_i, b_b, bplan)
+                    eps = runtime_zero_probe(
+                        c.rowptr, c.colidx, c.blocks.reshape(-1)
+                    ).astype(blocks.dtype)
+                    return blocks + eps, c.rowptr[-1]
+                _, outs = jax.lax.scan(body, a_blocks, None, length=k)
+                return outs
+            return run
 
         vary = lambda i: (a_b.blocks + jnp.float32(1e-6) * i,)
-        r = bench(run, name="bsr", warmup=1, runs=3, flops=flops * K_ITERS, vary=vary)
-        return r.mean_s / K_ITERS
+        s, _ = bench_delta(kfac, vary, k1=K_ITERS, name="bsr", flops=flops)
+        return s
 
     def time_dia(a_sp, flops):
         a_d = DIA.from_scipy(a_sp)
 
-        @jax.jit
-        def run(plane0):
-            def body(plane, _):
-                a_i = DIA(plane, a_d.offsets, a_d.shape)
-                c = dia_spgemm(a_i, a_i)
-                eps = runtime_zero_probe(c.data.reshape(-1)).astype(plane.dtype)
-                return plane + eps, c.data[0, 0]
-            _, outs = jax.lax.scan(body, plane0, None, length=K_ITERS)
-            return outs
+        def kfac(k):
+            @jax.jit
+            def run(plane0):
+                def body(plane, _):
+                    a_i = DIA(plane, a_d.offsets, a_d.shape)
+                    c = dia_spgemm(a_i, a_i)
+                    eps = runtime_zero_probe(c.data.reshape(-1)).astype(plane.dtype)
+                    return plane + eps, c.data[0, 0]
+                _, outs = jax.lax.scan(body, plane0, None, length=k)
+                return outs
+            return run
 
         vary = lambda i: (a_d.data + jnp.float32(1e-6) * i,)
-        r = bench(run, name="dia", warmup=1, runs=3, flops=flops * K_ITERS, vary=vary)
-        return r.mean_s / K_ITERS
+        s, _ = bench_delta(kfac, vary, k1=K_ITERS, name="dia", flops=flops)
+        return s
 
     def time_dense(a_sp, flops):
         a = CSR.from_scipy(a_sp)
         dplan = make_dense_plan(a, a)
 
-        @jax.jit
-        def run(a_c):
-            def body(a_i, _):
-                c = spgemm_dense(a_i, a_i, dplan)
-                eps = runtime_zero_probe(c.vals).astype(a_i.vals.dtype)
-                return CSR(a_i.rowptr, a_i.colidx, a_i.vals + eps, a_i.shape), c.vals[0]
-            _, outs = jax.lax.scan(body, a_c, None, length=K_ITERS)
-            return outs
+        def kfac(k):
+            @jax.jit
+            def run(a_c):
+                def body(a_i, _):
+                    c = spgemm_dense(a_i, a_i, dplan)
+                    eps = runtime_zero_probe(c.vals).astype(a_i.vals.dtype)
+                    return CSR(a_i.rowptr, a_i.colidx, a_i.vals + eps, a_i.shape), c.vals[0]
+                _, outs = jax.lax.scan(body, a_c, None, length=k)
+                return outs
+            return run
 
-        a = CSR.from_scipy(a_sp)
         vary = lambda i: (
             CSR(a.rowptr, a.colidx, a.vals + jnp.float32(1e-6) * i, a.shape),
         )
-        r = bench(run, name="dense", warmup=1, runs=3, flops=flops * K_ITERS, vary=vary)
-        return r.mean_s / K_ITERS
+        s, _ = bench_delta(kfac, vary, k1=K_ITERS, name="dense", flops=flops)
+        return s
 
     for name, methods in [
         ("banded_16k", ("dia", "bsr")),

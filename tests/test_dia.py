@@ -143,3 +143,20 @@ def test_spgemm_dia_csr_wrapper():
     np.testing.assert_array_equal(got.indptr, want.indptr)
     np.testing.assert_array_equal(got.indices, want.indices)
     np.testing.assert_allclose(got.data, want.data, rtol=1e-4, atol=1e-6)
+
+
+def test_zero_matrix_dia_and_auto_dispatch():
+    """All-zero A: auto dispatch must not pick a backend that chokes on an
+    empty diagonal set, and the DIA path itself must return an empty C
+    (regression: dia_spgemm crashed on max(()) and choose_method returned
+    'dia' because every cost estimate ties at ~0 when products == 0)."""
+    import scipy.sparse as sp
+
+    from benchmark_spgemm_using_csr_tpu import spgemm
+    from benchmark_spgemm_using_csr_tpu.ops.dispatch import choose_method
+
+    z = CSR.from_scipy(sp.csr_matrix((100, 100), dtype=np.float32))
+    assert choose_method(z) == "chunked"
+    for method in ("auto", "dia"):
+        c = spgemm(z, z, method=method)
+        assert int(np.asarray(c.rowptr)[-1]) == 0
