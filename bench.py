@@ -233,6 +233,12 @@ def main() -> None:
             kfac = lambda k=K_ITERS: k_loop_bsr(a_b, b_b, bplan, k)
             arg = a_b.blocks
         else:
+            if method == "hash":
+                # dense-accumulator path is host-orchestrated (multi-tile
+                # dispatches); it has no winning regime on this chip
+                # (ops/dispatch.estimate_hash_s) but if the model ever
+                # picks it, time it honestly as wall clock instead
+                method = "chunked"
             plan = make_chunked_plan(a, a)
             nnz_c = int(np.asarray(spgemm_chunked(a, a, plan).rowptr)[-1])
             kfac = lambda k=K_ITERS: k_loop_chunked(a, plan, k)

@@ -153,6 +153,43 @@ def estimate_tilepack_s(a: CSR) -> float:
     )
 
 
+def estimate_hash_s(
+    a: CSR, tile_bytes_budget: int = 512 * 1024 * 1024
+) -> float:
+    """Dense-accumulator hash path model (ops/hash.py): every product is one
+    scatter-add descriptor into the (R, n) accumulator plus one scatter-SET
+    into the occupancy mask, then each row tile pays an (R, n) prefix-sum
+    sweep and two (R, n)-descriptor compaction scatters. Rates are the
+    measured scatter ceilings (CLAUDE.md: add ~1.30e8 desc/s, SET ~1.94e8;
+    cumsum ~0.8 ns/slot).
+
+    Measured conclusion (2026-08-19, kept so the dispatcher documents it):
+    scattering F products costs MORE than gathering them (adds never beat
+    1.38e8 desc/s while the chunked path's aligned gathers reach 2.28e8
+    with 8 pairs per descriptor), so on this TPU the hash path only
+    approaches the sort paths at extreme duplicate ratios (F >> m*n) where
+    the BSR/MXU path has long since taken over — the reference's
+    shared-memory hash method has no winning TPU regime, but the dispatcher
+    can now prove that per matrix instead of ignoring the method."""
+    rowptr, nnz, _, _, products = _stats(a)
+    if not nnz:
+        return 0.0
+    m, n = a.shape
+    itemsize = np.dtype(a.vals.dtype).itemsize
+    r_tile = max(int(tile_bytes_budget // (n * (itemsize + 4 + 4))), 8)
+    m_ne = int((np.diff(rowptr) > 0).sum())
+    n_tiles = -(-m_ne // max(min(r_tile, m_ne), 1)) if m_ne else 0
+    slots = n_tiles * min(r_tile, max(m_ne, 1)) * n
+    return (
+        CHUNKED_FIXED_S * max(n_tiles, 1)  # host-orchestrated dispatches
+        + products / 1.30e8  # value scatter-add
+        + products / 1.94e8  # occupancy scatter-SET
+        + products / 2.28e8  # product expansion gathers
+        + slots * 0.8e-9  # per-tile prefix-sum sweep
+        + 2 * slots / 1.4e8  # cols/vals compaction scatters
+    )
+
+
 def choose_method(a: CSR) -> str:
     """Pick the fastest backend for C = A @ A by measured cost model."""
     *_, products = _stats(a)
@@ -164,5 +201,6 @@ def choose_method(a: CSR) -> str:
         "dia": estimate_dia_s(a),
         "dense": estimate_dense_s(a),
         "tilepack": estimate_tilepack_s(a),
+        "hash": estimate_hash_s(a),
     }
     return min(est, key=est.get)
