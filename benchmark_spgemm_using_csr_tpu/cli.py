@@ -74,6 +74,18 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["replicated", "ring", "halo"],
         help="distributed schedule (with --mesh)",
     )
+    p.add_argument(
+        "--multihost",
+        action="store_true",
+        help="initialize the multi-host runtime (jax.distributed) before "
+        "building the mesh; topology from --coordinator/--num-processes/"
+        "--process-id or COORDINATOR_ADDRESS/NUM_PROCESSES/PROCESS_ID env "
+        "vars (all omitted = TPU-pod auto-detection). See "
+        "parallel/bootstrap.py for the launch recipe.",
+    )
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     return p
 
 
@@ -136,6 +148,17 @@ def main(argv=None) -> int:
         from jax.sharding import Mesh
         from .parallel.dist import dist_spgemm
 
+        if args.multihost:
+            from .parallel.bootstrap import init_multihost
+
+            topo = init_multihost(
+                args.coordinator, args.num_processes, args.process_id
+            )
+            print(
+                f"multihost  : process {topo.process_id}/"
+                f"{topo.process_count}, {topo.global_devices} global devices",
+                file=sys.stderr,
+            )
         devs = jax.devices()
         if len(devs) < args.mesh:
             devs = jax.devices("cpu")

@@ -47,13 +47,21 @@ DIA_PLANE_BYTES = 512 << 20
 BSR_PAIR_BYTES = 2 << 30
 
 
-def _stats(a: CSR):
+def _stats(a: CSR, _cache={}):
+    """One host pull of (rowptr, colidx) + derived stats. Memoized on the
+    CSR object's buffer ids: choose_method calls five estimators and each
+    device->host pull of a 1M-row matrix costs ~10 s through the axon
+    tunnel (measured 2026-08-19: choose_method(webbase_1m) 66 s -> 13 s)."""
+    key = (id(a.rowptr), id(a.colidx))
+    if _cache.get("key") == key:
+        return _cache["val"]
     rowptr = np.asarray(a.rowptr)
     nnz = int(rowptr[-1])
     row_lens = np.diff(rowptr).astype(np.int64)
     cols = np.asarray(a.colidx)[:nnz].astype(np.int64)
     products = int(row_lens[cols].sum()) if nnz else 0
-    return rowptr, nnz, row_lens, cols, products
+    _cache["key"], _cache["val"] = key, (rowptr, nnz, row_lens, cols, products)
+    return _cache["val"]
 
 
 def estimate_chunked_s(a: CSR, products: int | None = None) -> float:

@@ -37,12 +37,14 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..sparse.csr import CSR, INDEX_DTYPE, pad_bucket
 from ..ops.chunked import (
+    ChunkedPlan,
     _expand_chunks,
     merge_products,
     pad_gentle,
     row_product_offsets,
+    spgemm_chunked,
 )
-from .dist import ShardedCSR, shard_rows, unshard
+from .dist import ShardedCSR, make_dist_local_plan, shard_rows, unshard
 
 
 @dataclasses.dataclass(frozen=True)
@@ -63,6 +65,9 @@ class HaloPlan:
     prod_cap: int
     out_cap: int
     shape_b: Tuple[int, int]
+    # tuned per-shard local-kernel plan (make_dist_local_plan): the local
+    # SpGEMM runs the full single-chip chunked machinery, not a fixed k
+    local_plan: ChunkedPlan | None = None
 
 
 def build_halo_plan(a: CSR, b: CSR, n_shards: int) -> HaloPlan:
@@ -151,7 +156,12 @@ def build_halo_plan(a: CSR, b: CSR, n_shards: int) -> HaloPlan:
         bounds.append(int(b_len[a_colidx[lo:hi]].sum()) if hi > lo else 0)
     prod_cap = pad_bucket(max(bounds + [1]))
 
+    local_plan = make_dist_local_plan(
+        a, b, n_shards, halo_lens=[b_len[h] for h in halos]
+    )
+
     return HaloPlan(
+        local_plan=local_plan,
         a_sh=a_remap,
         send_rows=jnp.asarray(send_rows),
         input_offsets=jnp.asarray(input_offsets),
@@ -215,7 +225,7 @@ def dist_spgemm_halo(
         mesh, axis, plan.a_sh.m_loc, b.m_loc, n,
         plan.halo_rowptr.shape[1] - 1, plan.send_payload_cap,
         plan.halo_nnz_cap, plan.chunk_cap, plan.prod_cap, plan.out_cap,
-        use_ragged,
+        use_ragged, plan.local_plan,
     )
     rowptr, colidx, vals = fn(
         plan.a_sh.rowptr, plan.a_sh.colidx, plan.a_sh.vals,
@@ -231,6 +241,7 @@ def dist_spgemm_halo(
 def _halo_exec(
     mesh, axis, m_loc, k_loc, n, halo_rows_cap, send_payload_cap,
     halo_nnz_cap, chunk_cap, prod_cap, out_cap, use_ragged,
+    local_plan: ChunkedPlan | None = None,
 ):
     """Cached compiled halo executable (re-tracing shard_map per call costs
     seconds; key = mesh + the plan's static capacities)."""
@@ -267,16 +278,22 @@ def _halo_exec(
                 recv_off[0], recv_sz[0], axis, chunk_cap,
             )
 
-        # 3. local SpGEMM against the assembled halo-B (chunked-ESC core)
+        # 3. local SpGEMM against the assembled halo-B: the FULL tuned
+        # single-chip chunked pipeline when a local plan is given (aligned
+        # tables / wide split / scatter-SET / bounded compaction), else the
+        # legacy fixed-k core
         a_loc = CSR(a_rp[0], a_ci[0], a_va[0], (m_loc, halo_rows_cap))
         b_halo = CSR(halo_rp[0], halo_ci, halo_va, (halo_rows_cap, n))
-        chunk_k = 8
-        chunks_cap = pad_gentle(prod_cap // chunk_k + a_loc.capacity + 1)
-        row, col, val = _expand_chunks(a_loc, b_halo, chunk_k, chunks_cap)
-        c_loc = merge_products(
-            row, col, val, m_loc, n, out_cap, val_dtype=a_va.dtype,
-            prodstart=row_product_offsets(a_loc, b_halo),
-        )
+        if local_plan is not None:
+            c_loc = spgemm_chunked(a_loc, b_halo, local_plan)
+        else:
+            chunk_k = 8
+            chunks_cap = pad_gentle(prod_cap // chunk_k + a_loc.capacity + 1)
+            row, col, val = _expand_chunks(a_loc, b_halo, chunk_k, chunks_cap)
+            c_loc = merge_products(
+                row, col, val, m_loc, n, out_cap, val_dtype=a_va.dtype,
+                prodstart=row_product_offsets(a_loc, b_halo),
+            )
         return c_loc.rowptr[None], c_loc.colidx[None], c_loc.vals[None]
 
     return jax.jit(

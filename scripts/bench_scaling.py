@@ -78,14 +78,16 @@ def main():
             prod_cap = shard_bounds(a, n)
             if schedule == "replicated":
                 a_sh = dist.shard_rows(a, n)
+                lp = dist.make_dist_local_plan(a, a, n)
                 run = lambda: dist.dist_spgemm_replicated(
-                    a_sh, a, mesh, prod_cap, prod_cap
+                    a_sh, a, mesh, plan=lp
                 )
             elif schedule == "ring":
                 a_sh = dist.shard_rows(a, n)
                 b_sh = dist.shard_rows(a, n)
+                rplan = dist.make_ring_plan(a, a, n)
                 run = lambda: dist.dist_spgemm_ring(
-                    a_sh, b_sh, a.rowptr, mesh, prod_cap, prod_cap
+                    a_sh, b_sh, a.rowptr, mesh, axis="rows", ring_plan=rplan
                 )
             else:
                 plan = build_halo_plan(a, a, n)
