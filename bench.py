@@ -90,12 +90,16 @@ def main() -> None:
         "econ_206k": generators.SUITE["econ_206k"],
         "mc2depi_524k": generators.SUITE["mc2depi_524k"],
         "scircuit_256k": generators.SUITE["scircuit_256k"],
+        # >=100M-product point (1.2e9 products): block-dense at 4.7% element
+        # density, so the dispatcher routes it to the full-MXU dense path
+        "dense_rows_8k": generators.SUITE["dense_rows_8k"],
     }
-    # >=100M-product scale point: the product stream exceeds one dispatch;
-    # rides the row-batched out-of-core path and is timed as WALL CLOCK of
-    # the full host-orchestrated call (plan + all block dispatches) — the
-    # honest number for a path whose point is host-side block orchestration
-    batched_suite = {"dense_rows_8k": generators.SUITE["dense_rows_8k"]}
+    # out-of-core demonstration on the same >=100M-product matrix: FORCED
+    # through the row-batched path (the dispatcher would pick dense
+    # in-core, see above) and timed as WALL CLOCK of the full
+    # host-orchestrated call — reported in `detail` but EXCLUDED from the
+    # gmean, which scores dispatcher-chosen paths only
+    batched_suite = {"dense_rows_8k_ooc": generators.SUITE["dense_rows_8k"]}
 
     from benchmark_spgemm_using_csr_tpu.utils.timing import runtime_zero_probe
 
@@ -140,10 +144,14 @@ def main() -> None:
         return run
 
     def k_loop_dense(dplan, k=K_ITERS):
+        # the plan is a jit ARGUMENT, not a closure capture: closed-over
+        # arrays are baked into the HLO as constants, and at dense_rows_8k
+        # scale the kept/disp slot maps are ~335 MB — over the axon
+        # remote_compile request limit (HTTP 413, 2026-08-19)
         @jax.jit
-        def run(a):
+        def run(a, plan):
             def body(a_c, _):
-                c = spgemm_dense(a_c, a_c, dplan)
+                c = spgemm_dense(a_c, a_c, plan)
                 eps = runtime_zero_probe(c.vals).astype(a_c.vals.dtype)
                 a_next = CSR(
                     a_c.rowptr, a_c.colidx, a_c.vals + eps, a_c.shape
@@ -152,7 +160,7 @@ def main() -> None:
             _, outs = jax.lax.scan(body, a, None, length=k)
             return outs
 
-        return run
+        return lambda a: run(a, dplan)
 
     def k_loop_tilepack(sched, k=K_ITERS):
         from benchmark_spgemm_using_csr_tpu.ops.tilepack import (
@@ -337,9 +345,16 @@ def main() -> None:
                 a.vals + jnp.asarray(1e-6 * i, a.vals.dtype), a.shape,
             )
             t0 = _time.perf_counter()
-            c = spgemm_batched(a_i, a_i, as_scipy=True)
+            # as_scipy=None: C lands on device when it fits HBM — forcing a
+            # host copy added ~80 s of axon-tunnel D2H to the measurement
+            c = spgemm_batched(a_i, a_i, as_scipy=None)
+            import jax as _jax
+
+            c = _jax.block_until_ready(c) if not hasattr(c, "nnz") else c
             walls.append(_time.perf_counter() - t0)
-            nnz_c = int(c.nnz)
+            nnz_c = int(c.nnz) if hasattr(c, "nnz") else int(
+                np.asarray(c.rowptr)[-1]
+            )
         wall = min(walls[1:])  # exclude the compile run
         per_matrix[name] = {
             "gflops": flops / wall / 1e9,
@@ -399,7 +414,15 @@ def main() -> None:
     finally:
         jax.config.update("jax_enable_x64", False)
 
-    gmean = float(np.exp(np.mean([np.log(v["gflops"]) for v in per_matrix.values()])))
+    scored = {
+        k: v for k, v in per_matrix.items() if not k.endswith("_ooc")
+    }
+    gmean = float(np.exp(np.mean([np.log(v["gflops"]) for v in scored.values()])))
+    r1_names = ["er_medium", "powerlaw_medium", "poisson2d_256", "banded_16k",
+                "stencil27_32", "circuit_64k", "dense_rows_2k"]
+    gmean_r1 = float(np.exp(np.mean(
+        [np.log(per_matrix[k]["gflops"]) for k in r1_names if k in per_matrix]
+    )))
     print(
         json.dumps(
             {
@@ -410,6 +433,11 @@ def main() -> None:
                 "detail": {
                     **{k: round(v["gflops"], 4) for k, v in per_matrix.items()},
                     **f64_detail,
+                    # round-1 7-matrix suite gmean, for cross-round
+                    # continuity (the round-2 suite added 5 harder
+                    # reference-scale members, so the headline gmean is not
+                    # comparable to BENCH_r01 on its own)
+                    "gmean_r1suite": round(gmean_r1, 4),
                 },
             }
         )

@@ -31,13 +31,24 @@ from ..sparse.csr import CSR
 #   dense_rows_2k  bsr 2.38  ms (~66k pairs)     | model 2.33
 CHUNKED_NS_PER_PRODUCT = 8.0  # aligned-era recalibration (2026-08-18):
 # er (al8) 6.5, circuit (k1+wide) 8.4, powerlaw (k1) 10.9 ns/product (true)
+# — all with a single-int32 sort key. Matrices whose (m, n) miss both the
+# int31 and uint32 packs run a 3-operand 2-key sort and wider compaction
+# ops; measured 2026-08-19: econ_206k 17.3 ns/p, scircuit_256k 13.7,
+# webbase_1m 25.2 (the 1M-row tail also pays m-sized scatters).
+CHUNKED_NS_PER_PRODUCT_UNPACKED = 14.0
 CHUNKED_FIXED_S = 0.1e-3
 BSR_NS_PER_PAIR = 35.0
 BSR_FIXED_S = 0.03e-3
 DENSE_FIXED_S = 0.3e-3
-DIA_FIXED_S = 0.05e-3
-DIA_NS_PER_SLOT = 0.121
-DIA_OP_OVERHEAD_S = 3e-6
+# DIA recalibrated 2026-08-19 after the gather-form rewrite (ops/dia.py:
+# per-output-plane term sums, no accumulator read-modify-write). Delta-timed
+# points: poisson2d_256 25 us (1.64M slots, 15.3 ps/slot), banded_16k
+# 156 us (10.2M, 15.2), stencil27_32 386 us (23.9M, 16.2), mc2depi_524k
+# 282 us (13.1M, 21.5 — large-n HBM tail). Consequence: banded regimes now
+# dispatch to dia (131 GF measured vs bsr's 87.5 on banded_16k).
+DIA_FIXED_S = 0.02e-3
+DIA_NS_PER_SLOT = 0.018
+DIA_OP_OVERHEAD_S = 1.5e-6
 MXU_F32_HIGHEST_FLOPS = 3.0e13
 # descriptor-bound like gathers: measured ~138 M desc/s (CLAUDE.md)
 SCATTER_DESC_PER_S = 1.38e8
@@ -67,7 +78,14 @@ def _stats(a: CSR, _cache={}):
 def estimate_chunked_s(a: CSR, products: int | None = None) -> float:
     if products is None:
         *_, products = _stats(a)
-    return CHUNKED_FIXED_S + products * CHUNKED_NS_PER_PRODUCT * 1e-9
+    from .chunked import _rc_pack_bits
+
+    m, n = a.shape
+    cbits = max(int(max(n - 1, 1)).bit_length(), 1)
+    rbits = max(int(max(m - 1, 1)).bit_length(), 1)
+    packed = _rc_pack_bits(m, n) > 0 or cbits + rbits <= 32
+    ns = CHUNKED_NS_PER_PRODUCT if packed else CHUNKED_NS_PER_PRODUCT_UNPACKED
+    return CHUNKED_FIXED_S + products * ns * 1e-9
 
 
 def estimate_bsr_s(a: CSR, block_shape=(8, 128)) -> float:
@@ -151,12 +169,16 @@ def estimate_tilepack_s(a: CSR) -> float:
     lanes = slots * al
     abpad = int((-(-row_lens // al) * al).sum())  # aligned-B table pairs
     passes = max(int(max(lanes // 4, 1)).bit_length(), 1)
+    # kernel rate drops past one native lane tile: cross-tile bitonic rolls
+    # + the scoped-VMEM block cap (pallas_kernels.tile_sort_merge). w=128:
+    # er 1.25 G lanes/s; w=256: econ_206k measured 102.8 ms total -> ~0.7 G
+    kernel_rate = 1.25e9 if w <= 128 else 0.7e9
     return (
         CHUNKED_FIXED_S
         + 2 * nnz / 1.30e8
         + abpad / 2.28e8
         + slots / 1.94e8
-        + lanes / 1.25e9
+        + lanes / kernel_rate
         + passes * lanes * 0.075e-9
     )
 

@@ -281,6 +281,12 @@ def tile_sort_merge(
         # at the er_medium production shape, 2026-08-18)
         eff_width = max(width, 128)
         block_rows = max(min(r, (8 * 1024 * 1024) // (eff_width * 4 * 6)), 8)
+        if width > 128:
+            # cross-lane-tile bitonic rolls make Mosaic stack per-stage
+            # relayout temporaries: at W=256 a (1024, 256) block demanded
+            # 24.5 MB of scoped VMEM against the 16 MB limit (econ_206k
+            # plan, 2026-08-19). Cap the block so ~4x block bytes fits.
+            block_rows = min(block_rows, (16 << 20) // (width * 4 * 6 * 4))
         block_rows = 1 << (block_rows.bit_length() - 1)
         while r % block_rows:
             block_rows //= 2
