@@ -183,6 +183,27 @@ def main() -> None:
 
         return run
 
+    def k_loop_grouped(gsched, k=K_ITERS):
+        from benchmark_spgemm_using_csr_tpu.ops.grouped import (
+            spgemm_grouped,
+        )
+
+        @jax.jit
+        def run(a):
+            def body(a_c, _):
+                c = spgemm_grouped(a_c, a_c, gsched)
+                eps = runtime_zero_probe(
+                    c.rowptr, c.colidx, c.vals
+                ).astype(a_c.vals.dtype)
+                a_next = CSR(
+                    a_c.rowptr, a_c.colidx, a_c.vals + eps, a_c.shape
+                )
+                return a_next, c.rowptr[-1]
+            _, outs = jax.lax.scan(body, a, None, length=k)
+            return outs
+
+        return run
+
     def k_loop_bsr(a_b, b_b, bplan, k=K_ITERS):
         @jax.jit
         def run(a_blocks):
@@ -220,7 +241,19 @@ def main() -> None:
                 nnz_c = sched.plan.nnz_c
                 kfac = lambda k=K_ITERS: k_loop_tilepack(sched, k)
                 arg = a
-        if method == "tilepack":
+        if method == "grouped":
+            from benchmark_spgemm_using_csr_tpu.ops.grouped import (
+                make_grouped_plan,
+            )
+
+            gsched = make_grouped_plan(a, a)
+            if gsched is None:  # cost model raced the regime gate
+                method = "chunked"
+            else:
+                nnz_c = gsched.plan.nnz_c
+                kfac = lambda k=K_ITERS: k_loop_grouped(gsched, k)
+                arg = a
+        if method in ("tilepack", "grouped"):
             pass
         elif use_dia:
             a_d = DIA.from_scipy(a_sp)
@@ -286,6 +319,7 @@ def main() -> None:
             chunked_stage_models,
             dense_stage_models,
             dia_stage_models,
+            grouped_stage_models,
             roofline_report,
             tilepack_stage_models,
         )
@@ -306,6 +340,10 @@ def main() -> None:
         elif method == "tilepack":
             models = tilepack_stage_models(
                 sched.plan, nnz_a=nnz_a, nnz_b=nnz_a, m=a.m, nnz_c=nnz_c
+            )
+        elif method == "grouped":
+            models = grouped_stage_models(
+                gsched.plan, nnz_a=nnz_a, nnz_b=nnz_a, m=a.m, nnz_c=nnz_c
             )
         else:
             models = chunked_stage_models(

@@ -110,6 +110,16 @@ def spgemm(
                 "matrix outside the packed-tile regime (short rows)"
             )
         c = spgemm_tilepack(a, b, sched)
+    elif method == "grouped":
+        from .ops.grouped import make_grouped_plan, spgemm_grouped
+
+        gsched = make_grouped_plan(a, b)
+        if gsched is None:
+            raise ValueError(
+                "matrix outside the grouped regime (packable values, "
+                "nonzero products)"
+            )
+        c = spgemm_grouped(a, b, gsched)
     else:
         raise ValueError(f"unknown method {method!r}")
     if trim:

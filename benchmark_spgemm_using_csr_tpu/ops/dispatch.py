@@ -29,13 +29,15 @@ from ..sparse.csr import CSR
 #   stencil27_32   dia 3.02  ms (nd=27, n=32768) | model 3.00
 #   banded_16k     bsr 0.233 ms (~7.6k pairs)    | model 0.30
 #   dense_rows_2k  bsr 2.38  ms (~66k pairs)     | model 2.33
-CHUNKED_NS_PER_PRODUCT = 8.0  # aligned-era recalibration (2026-08-18):
-# er (al8) 6.5, circuit (k1+wide) 8.4, powerlaw (k1) 10.9 ns/product (true)
+CHUNKED_NS_PER_PRODUCT = 9.5  # K-scan remeasure 2026-08-19: er (al8) 9.6,
+# circuit (k1+wide) 8.5, powerlaw (k1) 10.7 ns/product (true)
 # — all with a single-int32 sort key. Matrices whose (m, n) miss both the
 # int31 and uint32 packs run a 3-operand 2-key sort and wider compaction
-# ops; measured 2026-08-19: econ_206k 17.3 ns/p, scircuit_256k 13.7,
-# webbase_1m 25.2 (the 1M-row tail also pays m-sized scatters).
-CHUNKED_NS_PER_PRODUCT_UNPACKED = 14.0
+# ops; measured (k=1 rem-free era, 2026-08-19): econ_206k 17.3 ns/p,
+# scircuit_256k 13.3, webbase_1m 22.2 — the m-sized scatters add a
+# 169 * m / products ns/product tail (3-point fit, error < 4%).
+CHUNKED_NS_PER_PRODUCT_UNPACKED = 12.6
+CHUNKED_NS_M_TAIL = 169.0
 CHUNKED_FIXED_S = 0.1e-3
 BSR_NS_PER_PAIR = 35.0
 BSR_FIXED_S = 0.03e-3
@@ -72,6 +74,9 @@ def _stats(a: CSR, _cache={}):
     cols = np.asarray(a.colidx)[:nnz].astype(np.int64)
     products = int(row_lens[cols].sum()) if nnz else 0
     _cache["key"], _cache["val"] = key, (rowptr, nnz, row_lens, cols, products)
+    # hold the keyed buffers: id() values recycle after GC, and a stale hit
+    # returns another matrix's stats (caught by test_choose_method_regimes)
+    _cache["ref"] = (a.rowptr, a.colidx)
     return _cache["val"]
 
 
@@ -84,7 +89,12 @@ def estimate_chunked_s(a: CSR, products: int | None = None) -> float:
     cbits = max(int(max(n - 1, 1)).bit_length(), 1)
     rbits = max(int(max(m - 1, 1)).bit_length(), 1)
     packed = _rc_pack_bits(m, n) > 0 or cbits + rbits <= 32
-    ns = CHUNKED_NS_PER_PRODUCT if packed else CHUNKED_NS_PER_PRODUCT_UNPACKED
+    if packed:
+        ns = CHUNKED_NS_PER_PRODUCT
+    else:
+        ns = CHUNKED_NS_PER_PRODUCT_UNPACKED + CHUNKED_NS_M_TAIL * m / max(
+            products, 1
+        )
     return CHUNKED_FIXED_S + products * ns * 1e-9
 
 
@@ -146,39 +156,37 @@ def estimate_dense_s(a: CSR) -> float:
 
 
 def estimate_tilepack_s(a: CSR) -> float:
-    """Packed-tile ESC model (ops/tilepack.py), stage terms measured on-chip
-    2026-08-18: 2 propagation scatters ~130 M desc/s, table + slot gathers
-    ~194-228 M desc/s, Pallas tile kernel ~1.25 G lanes/s, shift compaction
-    ~0.075 ns per lane per displacement-bit pass. Calibration: er_medium
-    model 63.2 ms vs measured 65.4 ms."""
-    rowptr, nnz, row_lens, cols, products = _stats(a)
+    """Packed-tile ESC model (ops/tilepack.py) priced off the EXACT plan
+    (the regime gate rejects long-row matrices before the greedy fill, so
+    building it here is cheap where it matters). Stage terms measured
+    on-chip: 2 propagation scatters ~130 M desc/s, table + slot gathers
+    ~194-228 M desc/s, shift compaction ~0.075 ns per lane per
+    displacement-bit pass. The Pallas kernel's per-lane cost carries the
+    bitonic stage count AND its per-local-row count loop — fit on
+    er_medium (w=1024, wlr_eff=8, kernel ~2.05 ns/lane, total 65.8 ms)
+    and econ_206k (w=256, wlr_eff=16, ~3.15 ns/lane, total 98.3 ms),
+    2026-08-19; the w=128 micro (1.25 G lanes/s) falls on the same line."""
+    _, nnz, *_rest, products = _stats(a)
     if not nnz:
         return 0.0
     if products > (1 << 27):
         return float("inf")
-    al = 8
-    lens = row_lens[cols]
-    chunks_e = -(-lens // al)
-    cce = np.concatenate([[0], np.cumsum(chunks_e)])
-    row_chunks = cce[rowptr[1:]] - cce[rowptr[:-1]]
-    mx = int(row_chunks.max(initial=0))
-    if al * mx > 2048 or mx == 0:
+    from .tilepack import make_tilepack_plan
+
+    sched = make_tilepack_plan(a, a)
+    if sched is None:
         return float("inf")
-    w = max(128, 1 << int(al * mx - 1).bit_length())
-    slots = int(np.ceil(row_chunks.sum() / (w // al) / 0.93)) * (w // al)
-    lanes = slots * al
-    abpad = int((-(-row_lens // al) * al).sum())  # aligned-B table pairs
+    p = sched.plan
+    lanes = p.t_cap * p.w
+    lw = max(int(p.w - 1).bit_length(), 1)
+    kernel_ns = 0.0122 * lw * (lw + 1) / 2 + 0.173 * p.wlr_eff
     passes = max(int(max(lanes // 4, 1)).bit_length(), 1)
-    # kernel rate drops past one native lane tile: cross-tile bitonic rolls
-    # + the scoped-VMEM block cap (pallas_kernels.tile_sort_merge). w=128:
-    # er 1.25 G lanes/s; w=256: econ_206k measured 102.8 ms total -> ~0.7 G
-    kernel_rate = 1.25e9 if w <= 128 else 0.7e9
     return (
         CHUNKED_FIXED_S
         + 2 * nnz / 1.30e8
-        + abpad / 2.28e8
-        + slots / 1.94e8
-        + lanes / kernel_rate
+        + p.abpad_cap / 2.28e8
+        + p.s_cap / 1.94e8
+        + lanes * kernel_ns * 1e-9
         + passes * lanes * 0.075e-9
     )
 
@@ -220,6 +228,31 @@ def estimate_hash_s(
     )
 
 
+def estimate_grouped_s(a: CSR) -> float:
+    """Grouped-ESC model (ops/grouped.py): best of the narrow / aligned
+    modes under the shared calibrated cost (grouped.estimate_mode_ns)."""
+    from .grouped import estimate_mode_ns
+
+    rowptr, nnz, row_lens, cols, products = _stats(a)
+    if not nnz or products == 0:
+        return 0.0
+    if products > (1 << 27):
+        return float("inf")
+    if str(a.vals.dtype) not in ("float32", "bfloat16", "float16"):
+        return float("inf")  # value bits must pack into int32 lanes
+    m, n = a.shape
+    if max(int(n - 1).bit_length(), 1) > 31:
+        return float("inf")
+    lens = row_lens[cols]
+    abpad8 = int((-(-row_lens // 8) * 8).sum())
+    slots_a = int((-(-lens // 8)).sum()) * 8
+    cost = min(
+        estimate_mode_ns(m, nnz, products, products, 0),
+        estimate_mode_ns(m, nnz, slots_a, slots_a // 8, abpad8),
+    )
+    return CHUNKED_FIXED_S + cost * 1e-9
+
+
 def choose_method(a: CSR) -> str:
     """Pick the fastest backend for C = A @ A by measured cost model."""
     *_, products = _stats(a)
@@ -231,6 +264,7 @@ def choose_method(a: CSR) -> str:
         "dia": estimate_dia_s(a),
         "dense": estimate_dense_s(a),
         "tilepack": estimate_tilepack_s(a),
+        "grouped": estimate_grouped_s(a),
         "hash": estimate_hash_s(a),
     }
     return min(est, key=est.get)

@@ -93,6 +93,27 @@ class GroupedPlan:
         return self.s_cap * self.lanes
 
 
+def estimate_mode_ns(
+    m: int, nnz_a: int, slots: int, desc: int, abpad: int
+) -> float:
+    """Calibrated grouped-pipeline cost in ns (scripts/ab_grouped.py,
+    2026-08-19, ten on-chip K-scan points): per-slot cost carries a
+    log2(width)^2 bitonic-depth term, descriptors (expansion + aligned
+    table build) run ~5.5 ns, per-entry metadata ~10 ns (rowptr-pair
+    gather + 2 propagation scatters + spread), per-row ~20 ns (rank
+    scatter, sorted-off gather, rowptr). Fit error <= 10% on: powerlaw
+    g0 42.2 / g8 45.8, webbase g0 303.6 / g8 466.4, scircuit g0 488.1 /
+    g8 322.2, circuit g8 71.0, econ g0 101.4 / g8 92.9, er g8 72.8 ms."""
+    w_est = int(np.clip(slots / 64, 1 << 13, 1 << 17))
+    lb = max(int(w_est - 1).bit_length(), 1)
+    return (
+        slots * (2.0 + 0.011 * lb * lb)
+        + (desc + abpad) * 5.5
+        + nnz_a * 10.0
+        + m * 20.0
+    )
+
+
 @dataclasses.dataclass
 class GroupedSchedule:
     """Plan + structure-derived device arrays (host-built once per
@@ -136,19 +157,13 @@ def make_grouped_plan(
     if cbits > 31:
         return None
     # mode selection: narrow k=1 (1 product per descriptor, no padding)
-    # vs al=8 aligned table (8 pairs per descriptor, ceil(len/8) padding).
-    # Constants calibrated on-chip 2026-08-19 (scripts/ab_grouped.py:
-    # powerlaw g0 43.9 ms @4.61M slots / g8 51.7 @7.97M; webbase g0 303.6
-    # @20.97M / g8 466.4 @46.1M; scircuit g0 488.1 @41.9M / g8 322.2
-    # @46.1M): ~2.9 ns/slot narrow pipeline, ~4.5 ns/slot aligned
-    # (relayout of the (S, 2*al) gather included), 5.5 ns/descriptor.
+    # vs al=8 aligned table (8 pairs per descriptor, ceil(len/8) padding),
+    # by the shared calibrated cost (estimate_mode_ns docstring)
     if al is None:
-        slots_n = total
-        ch8 = -(-lens // 8)
-        slots_a = int(ch8.sum()) * 8
         abpad8 = int((-(-b_len // 8) * 8).sum())
-        cost_n = (5.5 + 2.9) * slots_n
-        cost_a = (4.5 + 5.5 / 8) * slots_a + 5.5 * abpad8
+        slots_a = int((-(-lens // 8)).sum()) * 8
+        cost_n = estimate_mode_ns(m, nnz_a, total, total, 0)
+        cost_a = estimate_mode_ns(m, nnz_a, slots_a, slots_a // 8, abpad8)
         al = 8 if cost_a < cost_n else 0
     lanes = al if al else 1
 

@@ -241,6 +241,66 @@ def tilepack_stage_models(
     }
 
 
+def grouped_stage_models(
+    plan,
+    nnz_a: int,
+    nnz_b: int,
+    m: int,
+    nnz_c: int,
+    itemsize: int = 4,
+) -> dict[str, StageModel]:
+    """PLAN-AWARE speed-of-light for ops/grouped.spgemm_grouped. The 2D
+    per-group sort's bitonic lower bound is log2(group width) read+write
+    passes — the grouped path's whole point is that this is far below the
+    global sort's log2(stream) (chunked_stage_models convention). Products
+    ride as (u32 key, f32 val) = 8 B (the plan guarantees packability)."""
+    stream = plan.prod_cap
+    W = plan.cs * plan.lanes
+    log_w = max(int(np.ceil(np.log2(max(W, 2)))), 1)
+
+    meta = StageModel(
+        "metadata",
+        # posb + aval cumsums over the chunk-slot stream
+        bytes_moved=2.0 * 2 * 4 * plan.s_cap,
+        flops=0.0,
+        # 2 propagation scatters + rowptr-pair gather + spread scatter
+        # (nnz_a each) + rank scatter (m) + boundary injections (2 g_cap)
+        descriptors=float(4 * nnz_a + m + 2 * plan.g_cap),
+    )
+    desc = float(plan.s_cap)
+    if plan.al:
+        desc += float(plan.abpad_cap)  # in-graph aligned-table build
+    expand = StageModel(
+        "expand",
+        bytes_moved=float(stream) * 8 + 2.0 * 4 * nnz_b,
+        flops=float(stream),
+        descriptors=desc,
+    )
+    sort = StageModel(
+        "sort", bytes_moved=2.0 * stream * 8 * log_w, flops=0.0
+    )
+    run_passes = max(int(max(plan.max_run, 2) - 1).bit_length(), 1)
+    runsum = StageModel(
+        "runsum",
+        bytes_moved=2.0 * stream * 8 * run_passes,
+        flops=float(stream) * run_passes,
+    )
+    c_passes = max(plan.disp_bits, 1)
+    compact = StageModel(
+        "compact",
+        bytes_moved=2.0 * stream * 8 * c_passes + nnz_c * (4 + itemsize),
+        flops=0.0,
+        descriptors=float(m + 1),
+    )
+    return {
+        "metadata": meta,
+        "expand": expand,
+        "sort": sort,
+        "runsum": runsum,
+        "compact": compact,
+    }
+
+
 def dia_stage_models(
     nd_a: int, nd_c: int, n: int, itemsize: int = 4
 ) -> dict[str, StageModel]:
