@@ -28,3 +28,18 @@ def eight_devices():
     if len(devs) < 8:
         pytest.skip("needs 8 virtual devices")
     return devs[:8]
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_per_module():
+    """Drop compiled executables between test modules.
+
+    The full suite accumulates several hundred live XLA:CPU executables;
+    past a capacity threshold the CPU client segfaults on a later compile
+    (reproduced deterministically 2026-08-19: tests/ crashed in
+    test_wide_path.py only when the whole suite preceded it — any
+    ~16-executable subset removed made it pass, contents irrelevant).
+    Per-module cache clearing keeps the live-executable population
+    bounded; within-module reuse (the expensive case) is preserved."""
+    yield
+    jax.clear_caches()
