@@ -130,6 +130,8 @@ class GroupedSchedule:
 
 def make_grouped_plan(
     a: CSR, b: CSR, al: int | None = None, target_slots: int | None = None,
+    fixed: GroupedPlan | None = None,
+    force_scatter_set: bool | None = None,
 ) -> GroupedSchedule | None:
     """Host stage-2: chunk quantization -> greedy row->group packing.
 
@@ -138,10 +140,18 @@ def make_grouped_plan(
     when the matrix doesn't fit the regime (empty, f64 values, a single
     row's products exceed any viable group, or the structural product is
     too large to count exactly on the host).
+
+    fixed: build this matrix's schedule under ANOTHER plan's statics
+    (mode, cs, g_cap, capacities) — shard_map runs one static program per
+    shard, so distributed schedules unify per-shard plans this way
+    (parallel/dist.make_dist_grouped_plan). The fixed statics must cover
+    this matrix (asserted).
     """
     m, n = a.m, b.n
     if m == 0 or n == 0:
         return None
+    if fixed is not None:
+        al = fixed.al
     if a.vals.dtype not in (jnp.float32, jnp.bfloat16, jnp.float16):
         return None  # value bits must pack into int32 lanes
     a_rowptr = np.asarray(a.rowptr)[: m + 1].astype(np.int64)
@@ -150,8 +160,9 @@ def make_grouped_plan(
     b_len = np.diff(b_rowptr)
     lens = b_len[np.asarray(a.colidx)[:nnz_a]]
     total = int(lens.sum())
-    if total == 0 or total > (1 << 27):
+    if fixed is None and (total == 0 or total > (1 << 27)):
         return None
+    assert total <= (1 << 27), "fixed statics cannot cover this stream"
 
     cbits = max(int(n - 1).bit_length(), 1)
     if cbits > 31:
@@ -169,8 +180,13 @@ def make_grouped_plan(
 
     # per-entry chunk counts and per-row chunk sums
     chunks_e = -(-lens // lanes)
-    n_zero = int((chunks_e == 0).sum())
-    scatter_set = n_zero <= max(nnz_a // 16, 64)
+    if fixed is not None:
+        scatter_set = fixed.scatter_set
+    elif force_scatter_set is not None:
+        scatter_set = force_scatter_set
+    else:
+        n_zero = int((chunks_e == 0).sum())
+        scatter_set = n_zero <= max(nnz_a // 16, 64)
     if scatter_set:
         chunks_e = np.maximum(chunks_e, 1)
     cce = np.concatenate([[0], np.cumsum(chunks_e)])
@@ -210,33 +226,43 @@ def make_grouped_plan(
             b = nb
         return np.asarray(bounds, np.int64)
 
-    if target_slots is None:
-        cap0 = int(
-            np.clip(total_chunks * lanes / 64, 1 << 13, 1 << 17)
-        ) // lanes
-    else:
-        cap0 = -(-target_slots // lanes)
-    best = None
-    for cap in {max(cap0, max_chunks), max(cap0 // 2, max_chunks),
-                max(cap0 // 4, max_chunks), max(cap0 * 2, max_chunks)}:
-        bounds = greedy(cap)
+    if fixed is not None:
+        bounds = greedy(fixed.cs)
         fills = cum_chunks[bounds[1:]] - cum_chunks[bounds[:-1]]
-        cs_try = int(fills.max(initial=1))
-        padded = pad_gentle(len(bounds) - 1, minimum=1) * cs_try
-        # depth-aware cost: every padded slot rides the whole pipeline
-        # (~8 ns) plus a bitonic sort whose per-element cost grows with
-        # log2(width)^2 (measured ~1.6 ms per depth doubling on the 4.19M
-        # powerlaw stream, scripts/ab_grouped.py 2026-08-19)
-        w_try = cs_try * lanes
-        sort_ns = 0.0035 * 0.5 * max(int(w_try - 1).bit_length(), 1) ** 2
-        cost = padded * (8.0 + sort_ns)
-        if best is None or cost < best[0]:
-            best = (cost, bounds, fills, cs_try)
-    _, bounds, fills, cs = best
+        cs = fixed.cs
+        assert int(fills.max(initial=0)) <= cs, "fixed cs too small"
+    else:
+        if target_slots is None:
+            cap0 = int(
+                np.clip(total_chunks * lanes / 64, 1 << 13, 1 << 17)
+            ) // lanes
+        else:
+            cap0 = -(-target_slots // lanes)
+        best = None
+        for cap in {max(cap0, max_chunks), max(cap0 // 2, max_chunks),
+                    max(cap0 // 4, max_chunks), max(cap0 * 2, max_chunks)}:
+            bounds = greedy(cap)
+            fills = cum_chunks[bounds[1:]] - cum_chunks[bounds[:-1]]
+            cs_try = int(fills.max(initial=1))
+            padded = pad_gentle(len(bounds) - 1, minimum=1) * cs_try
+            # depth-aware cost: every padded slot rides the whole pipeline
+            # (~8 ns) plus a bitonic sort whose per-element cost grows with
+            # log2(width)^2 (measured ~1.6 ms per depth doubling on the
+            # 4.19M powerlaw stream, scripts/ab_grouped.py 2026-08-19)
+            w_try = cs_try * lanes
+            sort_ns = 0.0035 * 0.5 * max(int(w_try - 1).bit_length(), 1) ** 2
+            cost = padded * (8.0 + sort_ns)
+            if best is None or cost < best[0]:
+                best = (cost, bounds, fills, cs_try)
+        _, bounds, fills, cs = best
     n_groups = len(bounds) - 1
     tile_of = np.searchsorted(bounds, np.arange(m), "right") - 1
     base_chunk = cum_chunks[:m] - cum_chunks[bounds[tile_of]]
-    g_cap = pad_gentle(n_groups, minimum=1)
+    if fixed is not None:
+        assert n_groups <= fixed.g_cap, "fixed g_cap too small"
+        g_cap = fixed.g_cap
+    else:
+        g_cap = pad_gentle(n_groups, minimum=1)
     first_rank_l = list(cum_ne[bounds[:-1]])
     rank = int(cum_ne[m])
     fill_end = np.zeros(g_cap, np.int64)
@@ -251,23 +277,23 @@ def make_grouped_plan(
     if lbits + cbits > 32:
         return None
 
-    # exact nnzC; padding + duplicates bound every kept element's
-    # compaction displacement (group-tail padding precedes later groups'
-    # kept slots, unlike the global-sort path where all padding tails)
-    import scipy.sparse as sp  # noqa: F401  (scipy backs to_scipy)
-
-    pat_a = a.to_scipy().astype(bool)
-    pat_b = pat_a if b is a else b.to_scipy().astype(bool)
-    nnz_c = int((pat_a @ pat_b).nnz)
     prod_cap = g_cap * cs * lanes
-    disp_bits = max(int(prod_cap - nnz_c).bit_length(), 1)
+    if fixed is None:
+        # exact nnzC; padding + duplicates bound every kept element's
+        # compaction displacement (group-tail padding precedes later
+        # groups' kept slots, unlike the global-sort path where all
+        # padding tails)
+        pat_a = a.to_scipy().astype(bool)
+        pat_b = pat_a if b is a else b.to_scipy().astype(bool)
+        nnz_c = int((pat_a @ pat_b).nnz)
+        disp_bits = max(int(prod_cap - nnz_c).bit_length(), 1)
 
-    abpad_cap = 0
-    if al:
-        abpad = int((-(-b_len // al) * al).sum())
-        # +al guarantees >= 1 all-sentinel table row past the aligned
-        # region for dummy chunks of zero-length B rows
-        abpad_cap = max(-(-pad_gentle(abpad + al) // al) * al, al)
+        abpad_cap = 0
+        if al:
+            abpad = int((-(-b_len // al) * al).sum())
+            # +al guarantees >= 1 all-sentinel table row past the aligned
+            # region for dummy chunks of zero-length B rows
+            abpad_cap = max(-(-pad_gentle(abpad + al) // al) * al, al)
 
     # per-row sorted product offset: group base + within-group VALID
     # product prefix. The sort is per-group with rows packed in rank
@@ -294,22 +320,31 @@ def make_grouped_plan(
         [sorted_off, [int(prod_cap)]]
     ).astype(np.int32)
 
-    plan = GroupedPlan(
-        k=lanes,
-        al=al,
-        cs=int(cs),
-        g_cap=int(g_cap),
-        abpad_cap=int(abpad_cap),
-        out_cap=min(pad_gentle(max(nnz_c, 1)), prod_cap),
-        nnz_c=nnz_c,
-        cbits=cbits,
-        lbits=lbits,
-        disp_bits=disp_bits,
-        max_run=int(
-            1 << max(int(np.diff(a_rowptr).max(initial=1) - 1).bit_length(), 0)
-        ),
-        scatter_set=bool(scatter_set),
-    )
+    if fixed is not None:
+        max_run = 1 << max(
+            int(np.diff(a_rowptr).max(initial=1) - 1).bit_length(), 0
+        )
+        assert max_run <= fixed.max_run, "fixed max_run too small"
+        plan = fixed  # verbatim: shard_map needs ONE static program
+    else:
+        plan = GroupedPlan(
+            k=lanes,
+            al=al,
+            cs=int(cs),
+            g_cap=int(g_cap),
+            abpad_cap=int(abpad_cap),
+            out_cap=min(pad_gentle(max(nnz_c, 1)), prod_cap),
+            nnz_c=nnz_c,
+            cbits=cbits,
+            lbits=lbits,
+            disp_bits=disp_bits,
+            max_run=int(
+                1 << max(
+                    int(np.diff(a_rowptr).max(initial=1) - 1).bit_length(), 0
+                )
+            ),
+            scatter_set=bool(scatter_set),
+        )
     slot0 = (tile_of * cs + base_chunk).astype(np.int32)
     return GroupedSchedule(
         plan=plan,

@@ -217,8 +217,103 @@ def make_dist_local_plan(
 
 
 # ---------------------------------------------------------------------------
+# Per-shard grouped-ESC local plan (same dispatch as the single-chip core)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class DistGroupedPlan:
+    """Unified grouped statics + per-shard schedule arrays stacked on a
+    leading shard axis (shard_map runs ONE static program, so every
+    shard's GroupedSchedule is rebuilt under the max statics)."""
+
+    plan: object  # ops.grouped.GroupedPlan (hashable statics)
+    slot0: jax.Array  # (P, m_loc)
+    first_rank: jax.Array  # (P, g_cap)
+    sorted_off: jax.Array  # (P, m_loc + 1)
+    fill_end: jax.Array  # (P, g_cap)
+
+
+def make_dist_grouped_plan(
+    a: CSR, b: CSR, n_shards: int
+) -> DistGroupedPlan | None:
+    """Per-shard grouped schedules under unified statics: pass 1 plans each
+    row shard with the GLOBAL plan's mode + group-size target, pass 2
+    rebuilds every shard under the max statics (ops.grouped's `fixed`)."""
+    from ..ops.grouped import make_grouped_plan
+
+    base = make_grouped_plan(a, b)
+    if base is None:
+        return None
+    bp = base.plan
+    a_sh = shard_rows(a, n_shards)
+    m_loc, kdim = a_sh.m_loc, a.n
+    subs = [
+        CSR(a_sh.rowptr[d], a_sh.colidx[d], a_sh.vals[d], (m_loc, kdim))
+        for d in range(n_shards)
+    ]
+    p1 = [
+        make_grouped_plan(
+            s, b, al=bp.al, target_slots=bp.cs * bp.lanes,
+            force_scatter_set=bp.scatter_set,
+        )
+        for s in subs
+    ]
+    live = [p.plan for p in p1 if p is not None]
+    if not live:
+        return None
+    cs_u = max(p.cs for p in live)
+    g_u = max(p.g_cap for p in live)
+    prod_u = g_u * cs_u * bp.lanes
+    nnz_max = max(p.nnz_c for p in live)
+    unified = dataclasses.replace(
+        bp,
+        cs=cs_u,
+        g_cap=g_u,
+        out_cap=min(pad_gentle(max(nnz_max, 1)), prod_u),
+        nnz_c=nnz_max,
+        disp_bits=max(
+            max(int(prod_u - p.nnz_c).bit_length(), 1) for p in live
+        ),
+        max_run=max(p.max_run for p in live),
+        lbits=max(p.lbits for p in live),
+    )
+    scheds = [make_grouped_plan(s, b, fixed=unified) for s in subs]
+    return DistGroupedPlan(
+        plan=unified,
+        slot0=jnp.stack([s.slot0 for s in scheds]),
+        first_rank=jnp.stack([s.first_rank for s in scheds]),
+        sorted_off=jnp.stack([s.sorted_off for s in scheds]),
+        fill_end=jnp.stack([s.fill_end for s in scheds]),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Replicated-B schedule
 # ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=128)
+def _replicated_exec_grouped(mesh, axis, m_loc, kdim, n, plan):
+    """Cached grouped-local-kernel executable (see _replicated_exec)."""
+    from ..ops.grouped import _spgemm_grouped
+
+    def local_fn(a_rp, a_ci, a_va, s0, fr, so, fe, b_rp, b_ci, b_va):
+        a_loc = CSR(a_rp[0], a_ci[0], a_va[0], (m_loc, kdim))
+        b_full = CSR(b_rp, b_ci, b_va, (kdim, n))
+        c_loc = _spgemm_grouped(
+            a_loc, b_full, s0[0], fr[0], so[0], fe[0], plan
+        )
+        return c_loc.rowptr[None], c_loc.colidx[None], c_loc.vals[None]
+
+    return jax.jit(
+        jax.shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=(P(axis),) * 7 + (P(), P(), P()),
+            out_specs=(P(axis), P(axis), P(axis)),
+        )
+    )
 
 
 @functools.lru_cache(maxsize=128)
@@ -254,15 +349,28 @@ def dist_spgemm_replicated(
     chunk_k: int | None = None,
     plan: ChunkedPlan | None = None,
     a_full: CSR | None = None,
+    grouped_plan: DistGroupedPlan | None = None,
 ) -> ShardedCSR:
     """C = A @ B with A,C row-sharded over ``mesh[axis]`` and B replicated.
 
-    The local kernel is the per-shard tuned chunked pipeline; pass ``plan``
-    (from make_dist_local_plan) to skip plan rebuilding, or ``a_full`` so it
-    can be built here. Legacy prod_cap/out_cap/chunk_k args are accepted for
-    explicit capacity control (narrow-mode plan)."""
+    The local kernel is the per-shard tuned chunked pipeline (pass ``plan``
+    from make_dist_local_plan) or the grouped-ESC pipeline (pass
+    ``grouped_plan`` from make_dist_grouped_plan); or pass ``a_full`` so a
+    chunked plan can be built here. Legacy prod_cap/out_cap/chunk_k args
+    are accepted for explicit capacity control (narrow-mode plan)."""
     m, k = a.shape
     n = b.n
+    if grouped_plan is not None:
+        fn = _replicated_exec_grouped(
+            mesh, axis, a.m_loc, k, n, grouped_plan.plan
+        )
+        rowptr, colidx, vals = fn(
+            a.rowptr, a.colidx, a.vals,
+            grouped_plan.slot0, grouped_plan.first_rank,
+            grouped_plan.sorted_off, grouped_plan.fill_end,
+            b.rowptr, b.colidx, b.vals,
+        )
+        return ShardedCSR(rowptr, colidx, vals, (m, n))
     if plan is None:
         if a_full is not None:
             plan = make_dist_local_plan(a_full, b, a.n_shards)
@@ -655,8 +763,13 @@ def shard_rows_cached(a: CSR, n_shards: int) -> ShardedCSR:
     if hit is None:
         if len(_SHARD_CACHE) > 64:
             _SHARD_CACHE.clear()
-        hit = _SHARD_CACHE[key] = shard_rows(a, n_shards)
-    return hit
+        # hold the keyed buffers: id() values recycle after GC and a stale
+        # hit would return another matrix's sharded form (same bug class as
+        # ops/dispatch._stats)
+        hit = _SHARD_CACHE[key] = (
+            shard_rows(a, n_shards), (a.rowptr, a.colidx, a.vals)
+        )
+    return hit[0]
 
 
 def dist_spgemm(
@@ -674,18 +787,42 @@ def dist_spgemm(
         return spgemm_halo(a, b, mesh, axis)
     a_sh = shard_rows_cached(a, n_shards)
     pkey = (id(a.rowptr), id(a.colidx), id(b.rowptr), n_shards, schedule)
-    plan = _PLAN_CACHE.get(pkey)
+    hit = _PLAN_CACHE.get(pkey)
+    plan = hit[0] if hit is not None else None
+
+    def _remember(p):
+        if len(_PLAN_CACHE) > 64:
+            _PLAN_CACHE.clear()
+        # hold the keyed buffers (see shard_rows_cached)
+        _PLAN_CACHE[pkey] = (p, (a.rowptr, a.colidx, b.rowptr))
+        return p
+
     if schedule == "replicated":
         if plan is None:
-            if len(_PLAN_CACHE) > 64:
-                _PLAN_CACHE.clear()
-            plan = _PLAN_CACHE[pkey] = make_dist_local_plan(a, b, n_shards)
-        c_sh = dist_spgemm_replicated(a_sh, b, mesh, axis=axis, plan=plan)
+            # local kernel by measured cost model: grouped wins the
+            # reference-scale row mixes (webbase/scircuit/econ regimes),
+            # chunked the rest — same dispatch the single-chip core uses
+            from ..ops.dispatch import (
+                estimate_chunked_s,
+                estimate_grouped_s,
+            )
+
+            gp = None
+            if estimate_grouped_s(a) < estimate_chunked_s(a):
+                gp = make_dist_grouped_plan(a, b, n_shards)
+            plan = _remember(
+                gp if gp is not None
+                else make_dist_local_plan(a, b, n_shards)
+            )
+        if isinstance(plan, DistGroupedPlan):
+            c_sh = dist_spgemm_replicated(
+                a_sh, b, mesh, axis=axis, grouped_plan=plan
+            )
+        else:
+            c_sh = dist_spgemm_replicated(a_sh, b, mesh, axis=axis, plan=plan)
     elif schedule == "ring":
         if plan is None:
-            if len(_PLAN_CACHE) > 64:
-                _PLAN_CACHE.clear()
-            plan = _PLAN_CACHE[pkey] = make_ring_plan(a, b, n_shards)
+            plan = _remember(make_ring_plan(a, b, n_shards))
         b_sh = shard_rows_cached(b, n_shards)
         c_sh = dist_spgemm_ring(
             a_sh, b_sh, b.rowptr, mesh, axis=axis, ring_plan=plan

@@ -86,3 +86,42 @@ def test_dist_spadd_matches_single_chip(eight_devices):
     c_dist = dist_spadd(a, b, mesh)
     c_one = spadd(a, b)
     assert_csr_equal(c_dist, c_one.to_scipy())
+
+
+def test_dist_grouped_local_kernel(eight_devices):
+    """Replicated schedule with the grouped-ESC per-shard kernel (forced
+    via make_dist_grouped_plan, independent of the cost-model pick)."""
+    from benchmark_spgemm_using_csr_tpu.parallel.dist import (
+        dist_spgemm_replicated,
+        make_dist_grouped_plan,
+    )
+
+    mesh = make_mesh(8)
+    a = CSR.from_scipy(
+        generators.power_law(415, 415, alpha=1.8, max_deg=150, seed=9)
+    )  # m not divisible by 8 -> padded rows exercise empty-row handling
+    gp = make_dist_grouped_plan(a, a, 8)
+    assert gp is not None
+    a_sh = shard_rows(a, 8)
+    c_sh = dist_spgemm_replicated(a_sh, a, mesh, grouped_plan=gp)
+    c = unshard(c_sh)
+    assert_csr_equal(c, spgemm_reference(a, a), rtol=1e-4, atol=1e-5)
+
+
+def test_dist_grouped_auto_pick(eight_devices):
+    """dist_spgemm routes through the grouped local kernel when the
+    dispatcher's cost model prefers it; result stays oracle-exact."""
+    from benchmark_spgemm_using_csr_tpu.ops import dispatch as D
+    from benchmark_spgemm_using_csr_tpu.parallel import dist as dmod
+
+    mesh = make_mesh(4)
+    a = CSR.from_scipy(
+        generators.power_law(300, 300, alpha=1.8, max_deg=64, seed=11)
+    )
+    gp_wins = D.estimate_grouped_s(a) < D.estimate_chunked_s(a)
+    c = dist_spgemm(a, a, mesh, schedule="replicated")
+    assert_csr_equal(c, spgemm_reference(a, a), rtol=1e-4, atol=1e-5)
+    # the plan cache must hold whichever plan type the model chose
+    kinds = {type(v[0]).__name__ for v in dmod._PLAN_CACHE.values()}
+    if gp_wins:
+        assert "DistGroupedPlan" in kinds
