@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..sparse.csr import BSR, CSR, INDEX_DTYPE, row_ids_from_rowptr
+from ..sparse.csr import BSR, CSR, INDEX_DTYPE, host_view, row_ids_from_rowptr
 from .chunked import pad_gentle
 
 F32 = jnp.float32
@@ -47,14 +47,14 @@ class BsrPlan:
 
 
 def make_bsr_plan(a: BSR, b: BSR) -> BsrPlan:
-    a_rp = np.asarray(a.rowptr)
-    b_rp = np.asarray(b.rowptr)
+    a_rp = host_view(a.rowptr)
+    b_rp = host_view(b.rowptr)
     nnzb_a = int(a_rp[-1])
     b_len = np.diff(b_rp)
-    pairs = int(b_len[np.asarray(a.colidx)[:nnzb_a]].sum()) if nnzb_a else 0
+    pairs = int(b_len[host_view(a.colidx)[:nnzb_a]].sum()) if nnzb_a else 0
     # unique C blocks per block row <= min(pairs in row, nb)
     nb = b.shape[1] // b.blocks.shape[2]
-    colidx = np.asarray(a.colidx)[:nnzb_a]
+    colidx = host_view(a.colidx)[:nnzb_a]
     per_entry = b_len[colidx]
     cs = np.concatenate([[0], np.cumsum(per_entry)])
     per_row_pairs = cs[np.minimum(a_rp[1:], nnzb_a)] - cs[np.minimum(a_rp[:-1], nnzb_a)]
@@ -198,12 +198,12 @@ def bsr_viable(
     m, n = a.shape
     if m % bm or n % bk or m % bk or n % bk:
         return False
-    rowptr = np.asarray(a.rowptr)
+    rowptr = host_view(a.rowptr)
     nnz = int(rowptr[-1])
     if not nnz:
         return True
     rows = np.repeat(np.arange(m, dtype=np.int64), np.diff(rowptr))
-    cols = np.asarray(a.colidx)[:nnz].astype(np.int64)
+    cols = host_view(a.colidx)[:nnz].astype(np.int64)
     nbk = n // bk
 
     # A's occupied (bm, bk) blocks; B(==A)'s occupied (bk, bk) block rows

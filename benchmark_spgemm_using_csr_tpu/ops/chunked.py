@@ -56,7 +56,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..sparse.csr import CSR, INDEX_DTYPE, pad_bucket
+from ..sparse.csr import CSR, INDEX_DTYPE, host_view, pad_bucket
 from .symbolic import nnz_upper_bound
 
 F32 = jnp.float32
@@ -151,10 +151,10 @@ def make_chunked_plan(
     al_min: int | None = None,
 ) -> ChunkedPlan:
     nnz_ct = np.asarray(jax.jit(nnz_upper_bound)(a, b))
-    b_len = np.diff(np.asarray(b.rowptr))
-    nnz_a = int(np.asarray(a.rowptr)[-1])
+    b_len = np.diff(host_view(b.rowptr))
+    nnz_a = int(host_view(a.rowptr)[-1])
     total = int(nnz_ct.sum())
-    lens_all = b_len[np.asarray(a.colidx)[:nnz_a]]
+    lens_all = b_len[host_view(a.colidx)[:nnz_a]]
 
     # Wide-row split: entries with len >= wide_min take the 128-lane aligned
     # path. Enabled when those entries carry enough products to amortize the
@@ -301,7 +301,7 @@ def make_chunked_plan(
         if scatter_set:
             chunks += extra_chunks
     # duplicates of one (row, col) are bounded by that A-row's nnz
-    a_len_max = int(np.diff(np.asarray(a.rowptr)).max(initial=1))
+    a_len_max = int(np.diff(host_view(a.rowptr)).max(initial=1))
 
     # uint32 single-key sort eligibility: (m, n) miss the int31 pack but
     # fit 32 bits, AND no real product can land on the (m-1, n-1) corner

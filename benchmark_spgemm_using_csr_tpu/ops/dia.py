@@ -26,7 +26,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..sparse.csr import CSR
+from ..sparse.csr import CSR, host_view
 from ..sparse.dia import DIA
 
 
@@ -99,12 +99,12 @@ def dia_spmv(a: DIA, x: jax.Array) -> jax.Array:
 
 def dia_offsets_of(a: CSR) -> np.ndarray:
     """Occupied diagonals of a CSR matrix (host, plan time)."""
-    rowptr = np.asarray(a.rowptr)
+    rowptr = host_view(a.rowptr)
     nnz = int(rowptr[-1])
     rows = np.repeat(
         np.arange(a.m, dtype=np.int64), np.diff(rowptr).astype(np.int64)
     )
-    cols = np.asarray(a.colidx)[:nnz].astype(np.int64)
+    cols = host_view(a.colidx)[:nnz].astype(np.int64)
     return np.unique(cols - rows)
 
 
@@ -137,10 +137,10 @@ def dia_viable(
     itemsize = np.dtype(a.vals.dtype).itemsize
     if n_off_c * a.n * itemsize > max_plane_bytes:
         return False
-    rowptr = np.asarray(a.rowptr)
+    rowptr = host_view(a.rowptr)
     nnz = int(rowptr[-1])
     row_lens = np.diff(rowptr).astype(np.int64)
-    cols = np.asarray(a.colidx)[:nnz].astype(np.int64)
+    cols = host_view(a.colidx)[:nnz].astype(np.int64)
     products = int(row_lens[cols].sum())
     dia_s = nd * nd * a.n * dia_ns_per_slot * 1e-9 + nd * op_overhead_s
     return dia_s < products * chunked_ns_per_product * 1e-9

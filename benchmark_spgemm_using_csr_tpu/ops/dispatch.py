@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..sparse.csr import CSR
+from ..sparse.csr import CSR, host_view
 
 # measured constants (see BASELINE.md history; re-calibrate on new hardware).
 # 2026-08-18 delta-timing recalibration: the old *_FIXED_S of 2.5-3.3 ms were
@@ -68,10 +68,10 @@ def _stats(a: CSR, _cache={}):
     key = (id(a.rowptr), id(a.colidx))
     if _cache.get("key") == key:
         return _cache["val"]
-    rowptr = np.asarray(a.rowptr)
+    rowptr = host_view(a.rowptr)
     nnz = int(rowptr[-1])
     row_lens = np.diff(rowptr).astype(np.int64)
-    cols = np.asarray(a.colidx)[:nnz].astype(np.int64)
+    cols = host_view(a.colidx)[:nnz].astype(np.int64)
     products = int(row_lens[cols].sum()) if nnz else 0
     _cache["key"], _cache["val"] = key, (rowptr, nnz, row_lens, cols, products)
     # hold the keyed buffers: id() values recycle after GC, and a stale hit

@@ -50,7 +50,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..sparse.csr import CSR, INDEX_DTYPE
+from ..sparse.csr import CSR, INDEX_DTYPE, host_view
 from .chunked import (
     _propagate_entry_consts,
     _segmented_runsum,
@@ -154,11 +154,11 @@ def make_grouped_plan(
         al = fixed.al
     if a.vals.dtype not in (jnp.float32, jnp.bfloat16, jnp.float16):
         return None  # value bits must pack into int32 lanes
-    a_rowptr = np.asarray(a.rowptr)[: m + 1].astype(np.int64)
+    a_rowptr = host_view(a.rowptr)[: m + 1].astype(np.int64)
     nnz_a = int(a_rowptr[-1])
-    b_rowptr = np.asarray(b.rowptr).astype(np.int64)
+    b_rowptr = host_view(b.rowptr).astype(np.int64)
     b_len = np.diff(b_rowptr)
-    lens = b_len[np.asarray(a.colidx)[:nnz_a]]
+    lens = b_len[host_view(a.colidx)[:nnz_a]]
     total = int(lens.sum())
     if fixed is None and (total == 0 or total > (1 << 27)):
         return None

@@ -43,7 +43,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..sparse.csr import CSR, INDEX_DTYPE
+from ..sparse.csr import CSR, INDEX_DTYPE, host_view
 from .chunked import _propagate_entry_consts, _shift_compact, pad_gentle
 
 F32 = jnp.float32
@@ -102,11 +102,11 @@ def make_tilepack_plan(
     m, n = a.m, b.n
     if m == 0 or n == 0:
         return None
-    a_rowptr = np.asarray(a.rowptr)[: m + 1].astype(np.int64)
+    a_rowptr = host_view(a.rowptr)[: m + 1].astype(np.int64)
     nnz_a = int(a_rowptr[-1])
-    b_rowptr = np.asarray(b.rowptr).astype(np.int64)
+    b_rowptr = host_view(b.rowptr).astype(np.int64)
     b_len = np.diff(b_rowptr)
-    lens = b_len[np.asarray(a.colidx)[:nnz_a]]
+    lens = b_len[host_view(a.colidx)[:nnz_a]]
     total = int(lens.sum())
     if total == 0 or total > (1 << 27):
         return None

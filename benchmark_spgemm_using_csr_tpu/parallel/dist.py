@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..sparse.csr import CSR, INDEX_DTYPE, pad_bucket
+from ..sparse.csr import CSR, INDEX_DTYPE, host_view, pad_bucket
 from ..ops.chunked import (
     ChunkedPlan,
     _expand_chunks,
@@ -141,14 +141,14 @@ def make_dist_local_plan(
 
     m = a.m
     m_loc = -(-m // n_shards)
-    rowptr = np.asarray(a.rowptr).astype(np.int64)
+    rowptr = host_view(a.rowptr).astype(np.int64)
     nnz_a = int(rowptr[-1])
     rowptr_full = np.concatenate(
         [rowptr, np.full(n_shards * m_loc - m, rowptr[-1], np.int64)]
     )
     bounds_e = rowptr_full[np.arange(n_shards + 1) * m_loc]
-    b_len = np.diff(np.asarray(b.rowptr)).astype(np.int64)
-    lens_all = b_len[np.asarray(a.colidx)[:nnz_a]]
+    b_len = np.diff(host_view(b.rowptr)).astype(np.int64)
+    lens_all = b_len[host_view(a.colidx)[:nnz_a]]
 
     def seg_sum(x):  # per-shard sums of an entry-level array
         cs = np.concatenate([[0], np.cumsum(x, dtype=np.int64)])
@@ -432,7 +432,7 @@ def make_ring_plan(a: CSR, b: CSR, n_shards: int) -> RingPlan:
     m_loc, cap_e = a_sh.m_loc, a_sh.cap
     k_pad = ((b.m + n_shards - 1) // n_shards) * n_shards
     k_loc = k_pad // n_shards
-    b_rowptr = np.asarray(b.rowptr).astype(np.int64)
+    b_rowptr = host_view(b.rowptr).astype(np.int64)
     b_len = np.diff(b_rowptr)
     rp_glob_pad = np.concatenate(
         [b_rowptr, np.full(k_pad - b.m, b_rowptr[-1], np.int64)]

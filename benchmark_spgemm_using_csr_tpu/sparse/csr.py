@@ -25,6 +25,37 @@ Shape = Tuple[int, int]
 INDEX_DTYPE = jnp.int32
 
 
+_HOST_MIRROR: dict = {}
+
+
+def host_view(x) -> np.ndarray:
+    """Host numpy view of a possibly-device array, memoized — and the
+    memo HOLDS the device array so its id() can't recycle (the stale-hit
+    bug class of ops/dispatch._stats). Plan builders must never re-pull
+    what the host already has: the axon tunnel can stall the FIRST
+    device->host fetch for ~80 s behind deferred small H2D transfers
+    (measured 2026-08-19: estimate_chunked_s on a 1000-row matrix took
+    78.9 s on one cold np.asarray(rowptr))."""
+    if isinstance(x, np.ndarray):
+        return x
+    key = id(x)
+    hit = _HOST_MIRROR.get(key)
+    if hit is not None and hit[1] is x:
+        return hit[0]
+    v = np.asarray(x)
+    if len(_HOST_MIRROR) > 256:
+        _HOST_MIRROR.clear()
+    _HOST_MIRROR[key] = (v, x)
+    return v
+
+
+def _remember_host(dev, host) -> None:
+    """Pre-populate the host mirror at construction time (from_scipy)."""
+    if len(_HOST_MIRROR) > 256:
+        _HOST_MIRROR.clear()
+    _HOST_MIRROR[id(dev)] = (host, dev)
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -94,12 +125,13 @@ class CSR:
     def to_scipy(self):
         import scipy.sparse as sp
 
-        rowptr = np.array(self.rowptr)  # copies: jax array views are read-only
+        # copies: jax array views are read-only and scipy may sort in place
+        rowptr = host_view(self.rowptr).copy()
         nnz = int(rowptr[-1])
         mat = sp.csr_matrix(
             (
-                np.array(self.vals[:nnz]),
-                np.array(self.colidx[:nnz]),
+                host_view(self.vals)[:nnz].copy(),
+                host_view(self.colidx)[:nnz].copy(),
                 rowptr,
             ),
             shape=self.shape,
@@ -119,12 +151,20 @@ class CSR:
         vals = np.zeros(cap, dtype)
         colidx[:nnz] = mat.indices
         vals[:nnz] = mat.data
-        return CSR(
-            rowptr=jnp.asarray(mat.indptr, INDEX_DTYPE),
+        rowptr_h = np.asarray(mat.indptr, np.int32)
+        out = CSR(
+            rowptr=jnp.asarray(rowptr_h),
             colidx=jnp.asarray(colidx),
             vals=jnp.asarray(vals),
             shape=tuple(mat.shape),
         )
+        # the host already HAS these arrays: mirror them so plan builders
+        # never pay a device->host pull (host_view docstring)
+        _remember_host(out.rowptr, rowptr_h)
+        _remember_host(out.colidx, colidx)
+        if out.vals.dtype == vals.dtype:  # jnp may downcast (x64 off)
+            _remember_host(out.vals, vals)
+        return out
 
     @staticmethod
     def from_dense(arr, capacity: int | None = None) -> "CSR":
