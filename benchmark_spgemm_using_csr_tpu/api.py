@@ -46,20 +46,16 @@ def spgemm(
         raise ValueError(f"inner dims mismatch: {a.shape} @ {b.shape}")
     total = int(_symbolic_total(a, b))
     prod_capacity = pad_bucket(total)
-    if method == "auto":
-        # MXU block path wins when occupied-block density is high enough to
-        # amortize the flop inflation (measured crossover ~2% at (8,128) on
-        # TPU v5e: banded 15.6% -> 6x faster, poisson 1.3% -> tie).
-        # cost-model dispatch over all four backends (ops/dispatch.py —
-        # the stage-2 analogue, measured constants). Methods like 'tiled'
-        # remain available explicitly; for a general A @ B only the
-        # C = A @ A models apply, so fall back to chunked.
-        if a is b:
-            from .ops.dispatch import choose_method
+    auto = method == "auto"
+    if auto:
+        # cost-model dispatch over all measured backends (ops/dispatch.py —
+        # the stage-2 analogue, measured constants), for ANY A @ B pair:
+        # the AMG Galerkin chain (models/amg.py) rides the same dispatch
+        # as the reference's C = A @ A benchmark mode. Methods like 'tiled'
+        # remain available explicitly.
+        from .ops.dispatch import choose_method
 
-            method = choose_method(a)
-        else:
-            method = "chunked"
+        method = choose_method(a, b)
     if method == "chunked":
         from .ops.chunked import make_chunked_plan, spgemm_chunked
 
@@ -106,6 +102,11 @@ def spgemm(
 
         sched = make_tilepack_plan(a, b)
         if sched is None:
+            # auto mode: the cost model and the plan builder share regime
+            # gates, but the builder sees statics the estimator
+            # approximates — fall back to chunked if it rejects after all
+            if auto:
+                return spgemm(a, b, method="chunked", trim=trim, config=config)
             raise ValueError(
                 "matrix outside the packed-tile regime (short rows)"
             )
@@ -115,6 +116,8 @@ def spgemm(
 
         gsched = make_grouped_plan(a, b)
         if gsched is None:
+            if auto:
+                return spgemm(a, b, method="chunked", trim=trim, config=config)
             raise ValueError(
                 "matrix outside the grouped regime (packable values, "
                 "nonzero products)"

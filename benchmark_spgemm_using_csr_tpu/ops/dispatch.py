@@ -1,4 +1,4 @@
-"""Cost-model method dispatch for C = A @ A — the stage-2 analogue.
+"""Cost-model method dispatch for C = A @ B — the stage-2 analogue.
 
 The reference decides per-ROW which numeric kernel runs (38-bin binning,
 SURVEY.md §4 stage 2). On TPU the same decision is better taken per-MATRIX
@@ -13,6 +13,11 @@ all measured on the v5-lite chip with the full-output probe (2026-08-17):
 
 ``choose_method`` estimates each and returns the argmin — one host-side
 O(nnz) numpy pass at plan time, like the reference's host-side binning.
+
+All estimators take an (A, B) pair (B defaults to A, the reference's
+C = A @ A squaring mode): the AMG Galerkin triple product R·A·P
+(models/amg.py, acceptance config #3) routes its rectangular chained
+products through the exact same cost models.
 """
 from __future__ import annotations
 
@@ -60,32 +65,47 @@ DIA_PLANE_BYTES = 512 << 20
 BSR_PAIR_BYTES = 2 << 30
 
 
-def _stats(a: CSR, _cache={}):
-    """One host pull of (rowptr, colidx) + derived stats. Memoized on the
-    CSR object's buffer ids: choose_method calls five estimators and each
-    device->host pull of a 1M-row matrix costs ~10 s through the axon
-    tunnel (measured 2026-08-19: choose_method(webbase_1m) 66 s -> 13 s)."""
-    key = (id(a.rowptr), id(a.colidx))
-    if _cache.get("key") == key:
-        return _cache["val"]
-    rowptr = host_view(a.rowptr)
+def _mstats(x: CSR, _cache={}):
+    """One host pull of (rowptr, colidx) + per-matrix derived stats,
+    memoized on the CSR object's buffer ids: choose_method calls seven
+    estimators and each device->host pull of a 1M-row matrix costs ~10 s
+    through the axon tunnel (measured 2026-08-19: choose_method(webbase_1m)
+    66 s -> 13 s). A small LRU (AMG hierarchies cycle A/P/R per level)."""
+    key = (id(x.rowptr), id(x.colidx))
+    hit = _cache.get(key)
+    if hit is not None:
+        return hit[0]
+    rowptr = host_view(x.rowptr)
     nnz = int(rowptr[-1])
     row_lens = np.diff(rowptr).astype(np.int64)
-    cols = host_view(a.colidx)[:nnz].astype(np.int64)
-    products = int(row_lens[cols].sum()) if nnz else 0
-    _cache["key"], _cache["val"] = key, (rowptr, nnz, row_lens, cols, products)
+    cols = host_view(x.colidx)[:nnz].astype(np.int64)
+    if len(_cache) >= 8:
+        _cache.pop(next(iter(_cache)))
     # hold the keyed buffers: id() values recycle after GC, and a stale hit
     # returns another matrix's stats (caught by test_choose_method_regimes)
-    _cache["ref"] = (a.rowptr, a.colidx)
-    return _cache["val"]
+    _cache[key] = ((rowptr, nnz, row_lens, cols), (x.rowptr, x.colidx))
+    return _cache[key][0]
 
 
-def estimate_chunked_s(a: CSR, products: int | None = None) -> float:
+def _stats(a: CSR, b: CSR | None = None):
+    """Pair stats for C = A @ B: A's host arrays + the intermediate-product
+    count sum_i |B[A.colidx[i], :]| (== the flop count / 2)."""
+    b = a if b is None else b
+    a_rowptr, nnz_a, a_row_lens, a_cols = _mstats(a)
+    _, _, b_row_lens, _ = _mstats(b)
+    products = int(b_row_lens[a_cols].sum()) if nnz_a else 0
+    return a_rowptr, nnz_a, a_row_lens, a_cols, products
+
+
+def estimate_chunked_s(
+    a: CSR, b: CSR | None = None, products: int | None = None
+) -> float:
+    b = a if b is None else b
     if products is None:
-        *_, products = _stats(a)
+        *_, products = _stats(a, b)
     from .chunked import _rc_pack_bits
 
-    m, n = a.shape
+    m, n = a.m, b.n
     cbits = max(int(max(n - 1, 1)).bit_length(), 1)
     rbits = max(int(max(m - 1, 1)).bit_length(), 1)
     packed = _rc_pack_bits(m, n) > 0 or cbits + rbits <= 32
@@ -98,64 +118,92 @@ def estimate_chunked_s(a: CSR, products: int | None = None) -> float:
     return CHUNKED_FIXED_S + products * ns * 1e-9
 
 
-def estimate_bsr_s(a: CSR, block_shape=(8, 128)) -> float:
-    """Block-pair count model (mirrors ops/bsr.bsr_viable)."""
+def estimate_bsr_s(
+    a: CSR, b: CSR | None = None, block_shape=(8, 128), bn: int = 128
+) -> float:
+    """Block-pair count model (mirrors ops/bsr.bsr_viable): A blocked at
+    (bm, bk), B at (bk, bn) as in ops/bsr.spgemm_bsr."""
+    b = a if b is None else b
     bm, bk = block_shape
-    m, n = a.shape
-    if m % bm or n % bk or m % bk or n % bk:
+    if a.m % bm or a.n % bk or b.m % bk or b.n % bn:
         return float("inf")
-    rowptr, nnz, _, cols, _ = _stats(a)
-    if not nnz:
+    a_rowptr, nnz_a, _, a_cols = _mstats(a)
+    b_rowptr, nnz_b, _, b_cols = _mstats(b)
+    if not nnz_a or not nnz_b:
         return 0.0
-    rows = np.repeat(np.arange(m, dtype=np.int64), np.diff(rowptr))
-    nbk = n // bk
-    a_keys = np.unique((rows // bm) * nbk + cols // bk)
-    b_keys = np.unique((rows // bk) * nbk + cols // bk)
-    b_blen = np.bincount(b_keys // nbk, minlength=m // bk)
-    pairs = int(b_blen[a_keys % nbk].sum())
+    a_rows = np.repeat(np.arange(a.m, dtype=np.int64), np.diff(a_rowptr))
+    a_keys = np.unique((a_rows // bm) * (a.n // bk) + a_cols // bk)
+    b_rows = np.repeat(np.arange(b.m, dtype=np.int64), np.diff(b_rowptr))
+    b_keys = np.unique((b_rows // bk) * (b.n // bn) + b_cols // bn)
+    b_blen = np.bincount(b_keys // (b.n // bn), minlength=b.m // bk)
+    pairs = int(b_blen[a_keys % (a.n // bk)].sum())
     if pairs * bm * bk * 4 > BSR_PAIR_BYTES:
         return float("inf")
     return BSR_FIXED_S + pairs * BSR_NS_PER_PAIR * 1e-9
 
 
-def estimate_dia_s(a: CSR) -> float:
-    rowptr, nnz, _, cols, _ = _stats(a)
+def _dia_offsets(x: CSR) -> np.ndarray:
+    rowptr, nnz, _, cols = _mstats(x)
     if not nnz:
+        return np.zeros(0, np.int64)
+    rows = np.repeat(np.arange(x.m, dtype=np.int64), np.diff(rowptr))
+    return np.unique(cols - rows)
+
+
+def estimate_dia_s(a: CSR, b: CSR | None = None) -> float:
+    b = a if b is None else b
+    _, nnz_a, *_ = _mstats(a)
+    _, nnz_b, *_ = _mstats(b)
+    if not nnz_a or not nnz_b:
         return 0.0
-    rows = np.repeat(np.arange(a.m, dtype=np.int64), np.diff(rowptr))
-    offs = np.unique(cols - rows)
-    nd = len(offs)
-    # early out before the O(nd^2) offset-sum table: many-diagonal matrices
-    # can never win on the nd^2*n cost (and the table itself would be huge)
-    if nd * nd * a.n * DIA_NS_PER_SLOT * 1e-9 > 10.0 or nd > 4096:
+    offs_a = _dia_offsets(a)
+    offs_b = offs_a if b is a else _dia_offsets(b)
+    nd_a, nd_b = len(offs_a), len(offs_b)
+    # early out before the O(nd_a*nd_b) offset-sum table: many-diagonal
+    # matrices can never win on the nd_a*nd_b*n cost (and the table itself
+    # would be huge)
+    # nd_a * nd_b is also the number of slice-FMA ops in the jitted graph
+    # (dia_spgemm unrolls terms statically): cap it so auto dispatch never
+    # builds a minutes-to-compile XLA program (each op also costs
+    # DIA_OP_OVERHEAD_S at runtime)
+    if (
+        nd_a * nd_b * b.n * DIA_NS_PER_SLOT * 1e-9 > 10.0
+        or nd_a > 4096
+        or nd_b > 4096
+        or nd_a * nd_b > 8192
+    ):
         return float("inf")
-    n_off_c = len(np.unique(offs[:, None] + offs[None, :]))
+    n_off_c = len(np.unique(offs_a[:, None] + offs_b[None, :]))
     itemsize = np.dtype(a.vals.dtype).itemsize
-    if n_off_c * a.n * itemsize > DIA_PLANE_BYTES:
+    if n_off_c * b.n * itemsize > DIA_PLANE_BYTES:
         return float("inf")
+    # per-term slice-FMA op overhead amortizes over the plane sums; the
+    # A@A-calibrated nd * OVERHEAD generalizes as terms / max(nd_a, nd_b)
     return (
         DIA_FIXED_S
-        + nd * nd * a.n * DIA_NS_PER_SLOT * 1e-9
-        + nd * DIA_OP_OVERHEAD_S
+        + nd_a * nd_b * b.n * DIA_NS_PER_SLOT * 1e-9
+        + (nd_a * nd_b / max(nd_a, nd_b, 1)) * DIA_OP_OVERHEAD_S
     )
 
 
-def estimate_dense_s(a: CSR) -> float:
+def estimate_dense_s(a: CSR, b: CSR | None = None) -> float:
+    b = a if b is None else b
     m, k = a.shape
-    n = k  # C = A @ A
+    n = b.n
     itemsize = np.dtype(a.vals.dtype).itemsize
     if (m * k + k * n + m * n) * itemsize > DENSE_MEM_BYTES:
         return float("inf")
-    _, nnz, *_ = _stats(a)
+    _, nnz_a, *_ = _mstats(a)
+    _, nnz_b, *_ = _mstats(b)
     matmul_s = 2.0 * m * k * n / MXU_F32_HIGHEST_FLOPS
-    scatter_s = 2 * nnz / SCATTER_DESC_PER_S
+    scatter_s = (nnz_a + nnz_b) / SCATTER_DESC_PER_S
     # extraction: ~log2(holes) conditional-shift passes over the dense C
     passes = max(int(m * n).bit_length() - 8, 1)  # holes unknown pre-plan
     compact_s = passes * (m * n * (2 * itemsize + 1)) / HBM_BYTES_PER_S
     return DENSE_FIXED_S + matmul_s + scatter_s + compact_s
 
 
-def estimate_tilepack_s(a: CSR) -> float:
+def estimate_tilepack_s(a: CSR, b: CSR | None = None) -> float:
     """Packed-tile ESC model (ops/tilepack.py) priced off the EXACT plan
     (the regime gate rejects long-row matrices before the greedy fill, so
     building it here is cheap where it matters). Stage terms measured
@@ -166,14 +214,15 @@ def estimate_tilepack_s(a: CSR) -> float:
     er_medium (w=1024, wlr_eff=8, kernel ~2.05 ns/lane, total 65.8 ms)
     and econ_206k (w=256, wlr_eff=16, ~3.15 ns/lane, total 98.3 ms),
     2026-08-19; the w=128 micro (1.25 G lanes/s) falls on the same line."""
-    _, nnz, *_rest, products = _stats(a)
+    b = a if b is None else b
+    _, nnz, *_rest, products = _stats(a, b)
     if not nnz:
         return 0.0
     if products > (1 << 27):
         return float("inf")
     from .tilepack import make_tilepack_plan
 
-    sched = make_tilepack_plan(a, a)
+    sched = make_tilepack_plan(a, b)
     if sched is None:
         return float("inf")
     p = sched.plan
@@ -192,7 +241,7 @@ def estimate_tilepack_s(a: CSR) -> float:
 
 
 def estimate_hash_s(
-    a: CSR, tile_bytes_budget: int = 512 * 1024 * 1024
+    a: CSR, b: CSR | None = None, tile_bytes_budget: int = 512 * 1024 * 1024
 ) -> float:
     """Dense-accumulator hash path model (ops/hash.py): every product is one
     scatter-add descriptor into the (R, n) accumulator plus one scatter-SET
@@ -209,10 +258,11 @@ def estimate_hash_s(
     the BSR/MXU path has long since taken over — the reference's
     shared-memory hash method has no winning TPU regime, but the dispatcher
     can now prove that per matrix instead of ignoring the method."""
-    rowptr, nnz, _, _, products = _stats(a)
+    b = a if b is None else b
+    rowptr, nnz, _, _, products = _stats(a, b)
     if not nnz:
         return 0.0
-    m, n = a.shape
+    m, n = a.m, b.n
     itemsize = np.dtype(a.vals.dtype).itemsize
     r_tile = max(int(tile_bytes_budget // (n * (itemsize + 4 + 4))), 8)
     m_ne = int((np.diff(rowptr) > 0).sum())
@@ -228,23 +278,25 @@ def estimate_hash_s(
     )
 
 
-def estimate_grouped_s(a: CSR) -> float:
+def estimate_grouped_s(a: CSR, b: CSR | None = None) -> float:
     """Grouped-ESC model (ops/grouped.py): best of the narrow / aligned
     modes under the shared calibrated cost (grouped.estimate_mode_ns)."""
     from .grouped import estimate_mode_ns
 
-    rowptr, nnz, row_lens, cols, products = _stats(a)
+    b = a if b is None else b
+    rowptr, nnz, _, cols, products = _stats(a, b)
     if not nnz or products == 0:
         return 0.0
     if products > (1 << 27):
         return float("inf")
     if str(a.vals.dtype) not in ("float32", "bfloat16", "float16"):
         return float("inf")  # value bits must pack into int32 lanes
-    m, n = a.shape
+    m, n = a.m, b.n
     if max(int(n - 1).bit_length(), 1) > 31:
         return float("inf")
-    lens = row_lens[cols]
-    abpad8 = int((-(-row_lens // 8) * 8).sum())
+    _, _, b_row_lens, _ = _mstats(b)
+    lens = b_row_lens[cols]
+    abpad8 = int((-(-b_row_lens // 8) * 8).sum())
     slots_a = int((-(-lens // 8)).sum()) * 8
     cost = min(
         estimate_mode_ns(m, nnz, products, products, 0),
@@ -253,18 +305,20 @@ def estimate_grouped_s(a: CSR) -> float:
     return CHUNKED_FIXED_S + cost * 1e-9
 
 
-def choose_method(a: CSR) -> str:
-    """Pick the fastest backend for C = A @ A by measured cost model."""
-    *_, products = _stats(a)
+def choose_method(a: CSR, b: CSR | None = None) -> str:
+    """Pick the fastest backend for C = A @ B by measured cost model
+    (B defaults to A — the reference's squaring benchmark mode)."""
+    b = a if b is None else b
+    *_, products = _stats(a, b)
     if products == 0:
         return "chunked"  # degenerate product; every estimate ties at ~0
     est = {
-        "chunked": estimate_chunked_s(a, products),
-        "bsr": estimate_bsr_s(a),
-        "dia": estimate_dia_s(a),
-        "dense": estimate_dense_s(a),
-        "tilepack": estimate_tilepack_s(a),
-        "grouped": estimate_grouped_s(a),
-        "hash": estimate_hash_s(a),
+        "chunked": estimate_chunked_s(a, b, products),
+        "bsr": estimate_bsr_s(a, b),
+        "dia": estimate_dia_s(a, b),
+        "dense": estimate_dense_s(a, b),
+        "tilepack": estimate_tilepack_s(a, b),
+        "grouped": estimate_grouped_s(a, b),
+        "hash": estimate_hash_s(a, b),
     }
     return min(est, key=est.get)

@@ -72,7 +72,7 @@ def test_hash_in_dispatcher():
     # force-win: a hash estimate of ~0 must route the dispatcher to it
     orig = dispatch.estimate_hash_s
     try:
-        dispatch.estimate_hash_s = lambda a_, **kw: 1e-12
+        dispatch.estimate_hash_s = lambda *a_, **kw: 1e-12
         assert dispatch.choose_method(a) == "hash"
     finally:
         dispatch.estimate_hash_s = orig
