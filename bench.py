@@ -38,6 +38,10 @@ import sys
 K_ITERS = 8  # residual floor bias = ~26 ms / K per pipeline; 8 keeps it <5%
 
 
+class _Skip(Exception):
+    """Point excluded by BENCH_ONLY (debug scoping)."""
+
+
 def main() -> None:
     import jax
 
@@ -71,7 +75,7 @@ def main() -> None:
     )
     from benchmark_spgemm_using_csr_tpu.ops.dispatch import choose_method
     from benchmark_spgemm_using_csr_tpu.utils import generators
-    from benchmark_spgemm_using_csr_tpu.utils.timing import bench_delta
+    from benchmark_spgemm_using_csr_tpu.utils.timing import bench_delta_stats
     from benchmark_spgemm_using_csr_tpu.utils.results import write_result
 
     suite = {
@@ -93,13 +97,31 @@ def main() -> None:
         # >=100M-product point (1.2e9 products): block-dense at 4.7% element
         # density, so the dispatcher routes it to the full-MXU dense path
         "dense_rows_8k": generators.SUITE["dense_rows_8k"],
+        # FEM-irregular family (VERDICT r2 #8): cant/consph/pdb1HYS
+        # analogues — irregular ~40-80 nnz rows, no regular diagonals
+        "fem_17k": generators.SUITE["fem_17k"],
+        "fem_32k": generators.SUITE["fem_32k"],
+        "pdb_8k": generators.SUITE["pdb_8k"],
     }
+    # BENCH_ONLY=name1,name2 scopes a debug run to named points (suite
+    # members, 'er_small_f64', 'rap_poisson2d_256', '*_ooc'); the headline
+    # gmean is only meaningful on the full suite
+    import os as _os
+
+    _only = _os.environ.get("BENCH_ONLY", "")
+    _keep = set(filter(None, _only.split(",")))
+    if _keep:
+        suite = {k: v for k, v in suite.items() if k in _keep}
     # out-of-core demonstration on the same >=100M-product matrix: FORCED
     # through the row-batched path (the dispatcher would pick dense
     # in-core, see above) and timed as WALL CLOCK of the full
     # host-orchestrated call — reported in `detail` but EXCLUDED from the
     # gmean, which scores dispatcher-chosen paths only
     batched_suite = {"dense_rows_8k_ooc": generators.SUITE["dense_rows_8k"]}
+    if _keep:
+        batched_suite = {
+            k: v for k, v in batched_suite.items() if k in _keep
+        }
 
     from benchmark_spgemm_using_csr_tpu.utils.timing import runtime_zero_probe
 
@@ -308,10 +330,19 @@ def main() -> None:
                     arg.shape),
             )
         # fast bodies get the two-length delta so the ~26 ms dispatch
-        # residual cancels exactly (module docstring; utils/timing.py)
-        device_s, k2 = bench_delta(
+        # residual cancels exactly (module docstring; utils/timing.py);
+        # the reported figure is the MEDIAN of >= 3 per-run estimates with
+        # (max-min)/median spread recorded (VERDICT r2 weak #2)
+        dres = bench_delta_stats(
             kfac, vary, k1=K_ITERS, name=name, flops=flops
         )
+        device_s, k2 = dres.per_s, dres.k2
+        if dres.unstable:
+            print(
+                f"SPREAD ALERT {name}: {dres.spread:.1%} over"
+                f" {len(dres.samples)} runs {dres.samples}",
+                file=sys.stderr,
+            )
 
         # speed-of-light fraction (analytic minimum HBM traffic / measured)
         from benchmark_spgemm_using_csr_tpu.utils.roofline import (
@@ -358,6 +389,7 @@ def main() -> None:
             "nnz_c": nnz_c,
             "method": method,
             "k2_delta": k2,
+            "spread": round(dres.spread, 4),
             "sol_fraction": round(float(sol.get("sol_fraction", 0.0)), 4),
         }
         write_result(
@@ -418,6 +450,8 @@ def main() -> None:
     # from the (f32) gmean — different arithmetic class.
     f64_detail = {}
     try:
+        if _keep and "er_small_f64" not in _keep:
+            raise _Skip
         jax.config.update("jax_enable_x64", True)
         a_sp64 = generators.erdos_renyi(4096, 4096, 8.0).astype(np.float64)
         a64 = CSR.from_scipy(a_sp64, dtype=jnp.float64)
@@ -430,13 +464,14 @@ def main() -> None:
         assert nnz_c64 == want.nnz, (nnz_c64, want.nnz)
         got = np.asarray(c64.vals)[:nnz_c64]
         np.testing.assert_allclose(got, want.data, rtol=1e-12)
-        device_s64, k2_64 = bench_delta(
+        dres64 = bench_delta_stats(
             lambda k=K_ITERS: k_loop_chunked(a64, plan64, k),
             lambda i: (CSR(a64.rowptr, a64.colidx,
                            a64.vals + jnp.asarray(1e-9 * i, a64.vals.dtype),
                            a64.shape),),
             k1=K_ITERS, name="er_small_f64", flops=flops64,
         )
+        device_s64, k2_64 = dres64.per_s, dres64.k2
         f64_detail["er_small_f64"] = round(flops64 / device_s64 / 1e9, 4)
         write_result(
             "results.jsonl",
@@ -447,10 +482,124 @@ def main() -> None:
              "method": "chunked-f64", "k2_delta": k2_64,
              "verified_rtol": 1e-12},
         )
+    except _Skip:
+        pass
     except Exception as e:  # pragma: no cover - report, don't sink the suite
         print(f"f64 point failed: {e!r}", file=sys.stderr)
     finally:
         jax.config.update("jax_enable_x64", False)
+
+    # ---- Galerkin R·A·P point (VERDICT r2 next #2): the general A@B
+    # dispatch exercised as a benchmark — two chained rectangular SpGEMMs
+    # (A@P then R@(AP)) in ONE jitted K-scan. Each product's method is
+    # cost-model-chosen among the CSR-native backends (format backends
+    # would force a mid-chain conversion). Reported in `detail`; excluded
+    # from the C=A·A gmean (different op).
+    rap_detail = {}
+    try:
+        if _keep and "rap_poisson2d_256" not in _keep:
+            raise _Skip
+        from benchmark_spgemm_using_csr_tpu.models.amg import (
+            aggregation_prolongator,
+        )
+        from benchmark_spgemm_using_csr_tpu.ops import dispatch as D
+
+        a_sp = generators.SUITE["poisson2d_256"]()
+        p_sp = aggregation_prolongator(a_sp).astype(np.float32).tocsr()
+        a_r = CSR.from_scipy(a_sp)
+        p_r = CSR.from_scipy(p_sp)
+        r_r = CSR.from_scipy(p_sp.T.tocsr())
+
+        def _csr_stage(x, y):
+            """Dispatch one chained product among the CSR-in/CSR-out
+            backends; returns (method, jit-able fn bound to its plan)."""
+            est = {
+                "chunked": D.estimate_chunked_s(x, y),
+                "grouped": D.estimate_grouped_s(x, y),
+                "tilepack": D.estimate_tilepack_s(x, y),
+            }
+            meth = min(est, key=est.get)
+            if meth == "grouped":
+                from benchmark_spgemm_using_csr_tpu.ops.grouped import (
+                    make_grouped_plan, spgemm_grouped,
+                )
+
+                sched = make_grouped_plan(x, y)
+                if sched is not None:
+                    return "grouped", (
+                        lambda u, v, s=sched: spgemm_grouped(u, v, s)
+                    )
+            if meth == "tilepack":
+                from benchmark_spgemm_using_csr_tpu.ops.tilepack import (
+                    make_tilepack_plan, spgemm_tilepack,
+                )
+
+                sched = make_tilepack_plan(x, y)
+                if sched is not None:
+                    return "tilepack", (
+                        lambda u, v, s=sched: spgemm_tilepack(u, v, s)
+                    )
+            plan = make_chunked_plan(x, y)
+            return "chunked", lambda u, v, s=plan: spgemm_chunked(u, v, s)
+
+        m1, f1 = _csr_stage(a_r, p_r)
+        c1 = jax.block_until_ready(f1(a_r, p_r))  # fixes AP structure
+        m2, f2 = _csr_stage(r_r, c1)
+        # correctness gate: the timed pipeline must match scipy
+        want_rap = (p_sp.T @ (a_sp @ p_sp)).tocsr()
+        want_rap.sort_indices()
+        want_rap.eliminate_zeros()
+        got_rap = f2(r_r, c1).to_scipy().tocsr()
+        got_rap.sort_indices()
+        got_rap.eliminate_zeros()
+        assert got_rap.nnz == want_rap.nnz, (got_rap.nnz, want_rap.nnz)
+        np.testing.assert_allclose(
+            got_rap.data, want_rap.data, rtol=1e-3, atol=1e-4
+        )
+        flops_rap = spgemm_flops(a_r, p_r) + spgemm_flops(r_r, c1)
+
+        def k_loop_rap(k=K_ITERS):
+            @jax.jit
+            def run(a_c):
+                def body(a_i, _):
+                    ap_i = f1(a_i, p_r)
+                    c_i = f2(r_r, ap_i)
+                    eps = runtime_zero_probe(
+                        ap_i.rowptr, ap_i.colidx, ap_i.vals,
+                        c_i.rowptr, c_i.colidx, c_i.vals,
+                    ).astype(a_c.vals.dtype)
+                    a_next = CSR(
+                        a_i.rowptr, a_i.colidx, a_i.vals + eps, a_i.shape
+                    )
+                    return a_next, c_i.rowptr[-1]
+                _, outs = jax.lax.scan(body, a_c, None, length=k)
+                return outs
+
+            return run
+
+        dres_rap = bench_delta_stats(
+            k_loop_rap,
+            lambda i: (CSR(a_r.rowptr, a_r.colidx,
+                           a_r.vals + jnp.asarray(1e-6 * i, a_r.vals.dtype),
+                           a_r.shape),),
+            k1=K_ITERS, name="rap_poisson2d_256", flops=flops_rap,
+        )
+        rap_detail["rap_poisson2d_256"] = round(
+            flops_rap / dres_rap.per_s / 1e9, 4
+        )
+        write_result(
+            "results.jsonl",
+            {"matrix": "rap_poisson2d_256",
+             "config": f"RAP Galerkin 1chip K-scan [{m1}+{m2}]",
+             "gflops": flops_rap / dres_rap.per_s / 1e9,
+             "device_s": dres_rap.per_s, "flops": flops_rap,
+             "nnz_c": int(want_rap.nnz), "method": f"{m1}+{m2}",
+             "k2_delta": dres_rap.k2, "spread": round(dres_rap.spread, 4)},
+        )
+    except _Skip:
+        pass
+    except Exception as e:  # pragma: no cover - report, don't sink the suite
+        print(f"RAP point failed: {e!r}", file=sys.stderr)
 
     scored = {
         k: v for k, v in per_matrix.items() if not k.endswith("_ooc")
@@ -471,6 +620,11 @@ def main() -> None:
                 "detail": {
                     **{k: round(v["gflops"], 4) for k, v in per_matrix.items()},
                     **f64_detail,
+                    **rap_detail,
+                    "spread_max": round(
+                        max((v.get("spread", 0.0)
+                             for v in per_matrix.values()), default=0.0), 4
+                    ),
                     # round-1 7-matrix suite gmean, for cross-round
                     # continuity (the round-2 suite added 5 harder
                     # reference-scale members, so the headline gmean is not

@@ -3,25 +3,45 @@ dispatch — the scale path for BASELINE.json config #5 (>=100M-nnz scale-free
 matrices, whose intermediate-product count can exceed HBM).
 
 C's rows are computed in contiguous row blocks: each block is an independent
-chunked-ESC SpGEMM over a row-slice of A (B untouched), so peak memory is
-bounded by the largest block's product stream. Blocks are sized so the
-stream stays under ``stream_budget`` products, with whole-row granularity
-(a single row whose products exceed the budget still gets its own block —
-it must fit HBM regardless). The reference analogue is the merge method's
+SpGEMM over a row-slice of A (B untouched), so peak memory is bounded by the
+largest block's working set. The reference analogue is the merge method's
 progressive processing of oversized rows (SURVEY.md §4 stage 3).
 
-Host orchestration is per *block* (not per row), and per-block shapes are
-bucket-padded so same-profile blocks share compilations.
+Rebuilt for round 3 (VERDICT r2 missing #2: the old path built a raw
+fixed-k ChunkedPlan and pulled every block's colidx/vals to host
+synchronously — dense_rows_8k_ooc ran 0.030 GF vs 27.8 in-core, a ~900x
+cliff). The new design:
+
+- **Per-block method dispatch** among the tuned backends (dense-MXU /
+  grouped-ESC / chunked-ESC) using the same measured cost models as the
+  in-core dispatcher (ops/dispatch), evaluated on a representative block.
+- **Host planning once per structure** (cached on buffer ids): C's exact
+  structural pattern is the concatenation of per-block pattern products, so
+  the output rowptr/colidx live in the plan as device-resident arrays and
+  per-block value extraction positions are static.
+- **Zero per-block host round-trips on the hot call**: block A values are
+  static-bound `dynamic_slice`s of the device-resident full A (structure
+  arrays are uploaded once at plan time), every block dispatch is async,
+  and assembly is ONE jitted concatenation of static value slices — the
+  axon tunnel's ~26 ms round trip is paid per dispatch, never per D2H.
+- **as_scipy** (C larger than HBM): values fetched once after all blocks
+  are dispatched, structure from the host plan.
 """
 from __future__ import annotations
+
+import dataclasses
+import functools
+import logging
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..sparse.csr import CSR, csr_gather_rows, pad_bucket
-from .chunked import ChunkedPlan, spgemm_chunked
+from ..sparse.csr import CSR, pad_bucket
+from .chunked import make_chunked_plan, spgemm_chunked
 from .symbolic import nnz_upper_bound
+
+log = logging.getLogger(__name__)
 
 
 def plan_row_batches(
@@ -46,110 +66,444 @@ def plan_row_batches(
     return blocks
 
 
+@dataclasses.dataclass
+class BatchedPlan:
+    """Host-built once per (A-structure, B-structure) pair; device arrays
+    are resident so repeat calls (bench loops, iterative solvers) pay no
+    re-upload."""
+
+    method: str  # 'dense' | 'grouped' | 'chunked'
+    blocks: tuple  # ((lo, hi), ...) contiguous row spans
+    rows_cap: int  # unified padded rows per block
+    nnz_cap: int  # unified padded A entries per block
+    slice0: tuple  # per-block static start into A.vals
+    nnz_blk: tuple  # per-block exact A nnz
+    nnz_c_blk: tuple  # per-block exact nnz(C) (static assembly offsets)
+    nnz_c: int
+    out_rowptr: jax.Array  # (m + 1,) final C rowptr (device)
+    out_colidx: jax.Array  # (cap_c,) final C colidx (device)
+    cap_c: int
+    host_rowptr: np.ndarray  # host copies for as_scipy
+    host_colidx: np.ndarray
+    blk_rowptr: tuple  # per-block (rows_cap + 1,) device rowptr
+    blk_colidx: tuple  # per-block (nnz_cap,) device colidx
+    blk_rows_e: tuple  # per-block (nnz_cap,) entry row ids (pad: rows_cap)
+    # dense method extras
+    flat_c: tuple = ()  # per-block (cap_c_u,) flat C positions (pad: -1)
+    cap_c_u: int = 0  # unified per-block C capacity
+    full_dense: tuple = ()  # per-block "C block is fully dense" flags
+    # grouped method extras: per-block GroupedSchedule under unified statics
+    grouped_scheds: tuple = ()
+    # chunked method extras
+    chunked_plan: object = None
+
+
+def _block_slices(a_sp, blocks, rows_cap, nnz_cap):
+    """Per-block padded structure (host): rowptr, colidx, entry row ids."""
+    rowptrs, colidxs, rows_es, slice0, nnz_blk = [], [], [], [], []
+    for lo, hi in blocks:
+        s0, s1 = int(a_sp.indptr[lo]), int(a_sp.indptr[hi])
+        nb = s1 - s0
+        rp = np.full(rows_cap + 1, nb, np.int32)
+        rp[: hi - lo + 1] = a_sp.indptr[lo:hi + 1] - s0
+        ci = np.zeros(nnz_cap, np.int32)
+        ci[:nb] = a_sp.indices[s0:s1]
+        re = np.full(nnz_cap, rows_cap, np.int32)
+        re[:nb] = (
+            np.repeat(np.arange(lo, hi), np.diff(a_sp.indptr[lo:hi + 1]))
+            - lo
+        )
+        rowptrs.append(rp)
+        colidxs.append(ci)
+        rows_es.append(re)
+        slice0.append(s0)
+        nnz_blk.append(nb)
+    return rowptrs, colidxs, rows_es, slice0, nnz_blk
+
+
+def make_batched_plan(
+    a: CSR,
+    b: CSR,
+    stream_budget: int = 64 * 1024 * 1024,
+    dense_block_bytes: int = 128 << 20,
+    method: str | None = None,
+) -> BatchedPlan:
+    """Host stage-2 for the out-of-core path (plan once, run many)."""
+    import scipy.sparse as sp
+
+    from ..sparse.csr import host_view
+
+    m, n = a.m, b.n
+    a_sp = sp.csr_matrix(
+        (
+            np.asarray(host_view(a.vals))[: int(host_view(a.rowptr)[-1])],
+            np.asarray(host_view(a.colidx))[: int(host_view(a.rowptr)[-1])],
+            np.asarray(host_view(a.rowptr)[: m + 1]),
+        ),
+        shape=(m, a.n),
+    )
+    b_rowptr = host_view(b.rowptr)
+    b_len = np.diff(b_rowptr).astype(np.int64)
+    nnz_ct = np.zeros(m, np.int64)
+    if a_sp.nnz:
+        lens = b_len[a_sp.indices]
+        cs = np.concatenate([[0], np.cumsum(lens)])
+        nnz_ct = cs[a_sp.indptr[1:]] - cs[a_sp.indptr[:-1]]
+
+    blocks = plan_row_batches(nnz_ct, stream_budget)
+
+    # ---- method: same measured cost models as the in-core dispatcher,
+    # evaluated on the largest block (blocks are product-balanced, so it is
+    # representative; the full matrix would overflow the models' regimes)
+    if method is None:
+        from . import dispatch as D
+
+        lo, hi = max(blocks, key=lambda be: be[1] - be[0])
+        sub = CSR.from_scipy(
+            sp.csr_matrix(a_sp[lo:hi]), dtype=a.vals.dtype
+        )
+        est = {
+            "chunked": D.estimate_chunked_s(sub, b),
+            "grouped": D.estimate_grouped_s(sub, b),
+            "dense": D.estimate_dense_s(sub, b),
+        }
+        method = min(est, key=est.get)
+        log.info("batched method=%s est=%s", method, est)
+
+    if method == "dense":
+        # memory-bound blocking: block dense C = rows * n * itemsize
+        itemsize = np.dtype(a.vals.dtype).itemsize
+        rows_blk = int(max(min(dense_block_bytes // (n * itemsize), m), 8))
+        blocks = [(lo, min(lo + rows_blk, m)) for lo in range(0, m, rows_blk)]
+
+    rows_cap = pad_bucket(max(hi - lo for lo, hi in blocks))
+    nnz_cap = pad_bucket(
+        max(int(a_sp.indptr[hi] - a_sp.indptr[lo]) for lo, hi in blocks) or 1
+    )
+    rowptrs, colidxs, rows_es, slice0, nnz_blk = _block_slices(
+        a_sp, blocks, rows_cap, nnz_cap
+    )
+
+    # ---- exact per-block C pattern (assembly offsets + output structure)
+    pat_a = sp.csr_matrix(
+        (np.ones(a_sp.nnz, np.float64), a_sp.indices, a_sp.indptr),
+        shape=a_sp.shape,
+    )
+    sb_ci = np.asarray(host_view(b.colidx))[: int(b_rowptr[-1])]
+    pat_b = sp.csr_matrix(
+        (np.ones(len(sb_ci), np.float64), sb_ci,
+         np.asarray(b_rowptr[: b.m + 1])),
+        shape=(b.m, n),
+    )
+    pats = []
+    for lo, hi in blocks:
+        pc = (pat_a[lo:hi] @ pat_b).tocsr()
+        pc.sort_indices()
+        pats.append(pc)
+    nnz_c_blk = tuple(int(p.nnz) for p in pats)
+    nnz_c = int(sum(nnz_c_blk))
+    cap_c = pad_bucket(max(nnz_c, 1))
+    out_rowptr = np.zeros(m + 1, np.int64)
+    out_colidx = np.zeros(cap_c, np.int32)
+    off = 0
+    for (lo, hi), pc in zip(blocks, pats):
+        out_rowptr[lo + 1:hi + 1] = off + pc.indptr[1:]
+        out_colidx[off:off + pc.nnz] = pc.indices
+        off += pc.nnz
+    assert off == nnz_c
+
+    plan = BatchedPlan(
+        method=method,
+        blocks=tuple(blocks),
+        rows_cap=rows_cap,
+        nnz_cap=nnz_cap,
+        slice0=tuple(slice0),
+        nnz_blk=tuple(nnz_blk),
+        nnz_c_blk=nnz_c_blk,
+        nnz_c=nnz_c,
+        out_rowptr=jnp.asarray(out_rowptr.astype(np.int32)),
+        out_colidx=jnp.asarray(out_colidx),
+        cap_c=cap_c,
+        host_rowptr=out_rowptr,
+        host_colidx=out_colidx,
+        blk_rowptr=tuple(jnp.asarray(r) for r in rowptrs),
+        blk_colidx=tuple(jnp.asarray(c) for c in colidxs),
+        blk_rows_e=tuple(jnp.asarray(r) for r in rows_es),
+    )
+
+    if method == "dense":
+        # per-block extraction mode: 'full' (C block structurally dense —
+        # identity), 'shift' (near-dense: host kept/disp + monotone shift
+        # compaction, passes = log2(holes) so almost-free at few holes),
+        # 'gather' (sparse C: nnz_c flat-position gathers)
+        cap_c_u = pad_bucket(max(max(nnz_c_blk), 1))
+        extract = []
+        for (lo, hi), pc in zip(blocks, pats):
+            rows_b = hi - lo
+            slots = rows_cap * n
+            flat = np.zeros(pc.nnz, np.int64)
+            rr = np.repeat(
+                np.arange(rows_b, dtype=np.int64), np.diff(pc.indptr)
+            )
+            flat = rr * n + pc.indices.astype(np.int64)
+            holes = slots - pc.nnz
+            if holes == 0:
+                extract.append(("full", None))
+            elif holes < slots // 8:
+                kept = np.zeros(slots, np.bool_)
+                kept[flat] = True
+                disp = (np.cumsum(~kept) - ~kept).astype(np.int32)
+                extract.append((
+                    "shift",
+                    (jnp.asarray(kept), jnp.asarray(disp),
+                     max(int(holes).bit_length(), 1)),
+                ))
+            else:
+                f = np.full(cap_c_u, slots, np.int64)  # pad -> guard
+                f[: pc.nnz] = flat
+                extract.append(("gather", jnp.asarray(f.astype(np.int32))))
+        plan.flat_c = tuple(extract)
+        plan.cap_c_u = cap_c_u
+    elif method == "grouped":
+        plan.grouped_scheds = _grouped_block_scheds(
+            plan, a, b, rowptrs, colidxs
+        )
+        if plan.grouped_scheds is None:
+            log.info("grouped regime rejected a block; falling back chunked")
+            return make_batched_plan(
+                a, b, stream_budget=stream_budget,
+                dense_block_bytes=dense_block_bytes, method="chunked",
+            )
+    if method == "chunked":
+        from ..parallel.dist import make_dist_local_plan
+
+        plan.chunked_plan = make_dist_local_plan(
+            a, b, n_shards=len(blocks),
+            bounds=np.asarray([lo for lo, _ in blocks] + [m], np.int64),
+        )
+    return plan
+
+
+def _grouped_block_scheds(plan, a, b, rowptrs, colidxs):
+    """Per-block grouped schedules under unified statics (the
+    parallel/dist.make_dist_grouped_plan two-pass trick, over
+    product-balanced blocks instead of uniform row shards)."""
+    from .grouped import make_grouped_plan
+
+    subs = []
+    for rp, ci, s0, nb in zip(
+        rowptrs, colidxs, plan.slice0, plan.nnz_blk
+    ):
+        # structure-only pass: vals must be NONZERO — make_grouped_plan's
+        # exact-nnz pattern product bools the values, and explicit zeros
+        # would erase the pattern
+        va = np.ones(plan.nnz_cap, np.float32)
+        subs.append(
+            CSR(jnp.asarray(rp), jnp.asarray(ci),
+                jnp.asarray(va).astype(a.vals.dtype),
+                (plan.rows_cap, a.n))
+        )
+    base = make_grouped_plan(subs[0], b)
+    if base is None:
+        return None
+    bp = base.plan
+    p1 = [
+        make_grouped_plan(
+            s, b, al=bp.al, target_slots=bp.cs * bp.lanes,
+            force_scatter_set=bp.scatter_set,
+        )
+        for s in subs
+    ]
+    if any(p is None for p in p1):
+        return None
+    live = [p.plan for p in p1]
+    from .chunked import pad_gentle
+
+    cs_u = max(p.cs for p in live)
+    g_u = max(p.g_cap for p in live)
+    prod_u = g_u * cs_u * bp.lanes
+    nnz_max = max(p.nnz_c for p in live)
+    unified = dataclasses.replace(
+        bp,
+        cs=cs_u,
+        g_cap=g_u,
+        out_cap=min(pad_gentle(max(nnz_max, 1)), prod_u),
+        nnz_c=nnz_max,
+        disp_bits=max(
+            max(int(prod_u - p.nnz_c).bit_length(), 1) for p in live
+        ),
+        max_run=max(p.max_run for p in live),
+        lbits=max(p.lbits for p in live),
+    )
+    return tuple(make_grouped_plan(s, b, fixed=unified) for s in subs)
+
+
+_plan_cache: dict = {}
+
+
+def _cached_plan(a: CSR, b: CSR, stream_budget, method) -> BatchedPlan:
+    key = (
+        id(a.rowptr), id(a.colidx), id(b.rowptr), id(b.colidx),
+        stream_budget, method,
+    )
+    hit = _plan_cache.get(key)
+    if hit is not None:
+        return hit[0]
+    plan = make_batched_plan(a, b, stream_budget=stream_budget, method=method)
+    _plan_cache.clear()  # bound memory: these plans hold device buffers
+    # hold keyed buffers: id() recycles after GC (ops/dispatch._stats)
+    _plan_cache[key] = (plan, (a.rowptr, a.colidx, b.rowptr, b.colidx))
+    return plan
+
+
+@jax.jit
+def _dense_b(b: CSR):
+    from .dense import csr_to_dense
+
+    return csr_to_dense(b)
+
+
 def spgemm_batched(
     a: CSR,
     b: CSR,
     stream_budget: int = 64 * 1024 * 1024,
-    k: int | None = None,
+    k: int | None = None,  # kept for API compat; method now auto-dispatched
     as_scipy: bool | None = None,
+    method: str | None = None,
 ) -> "CSR | object":
     """C = A @ B with bounded peak memory (see module docstring).
 
     as_scipy: return a host scipy CSR instead of a device CSR container.
     None = auto: host result whenever the assembled C exceeds 2 GiB (the
     point of the out-of-core path is that C may not fit HBM)."""
+    del k
     m, n = a.m, b.n
     nnz_ct = np.asarray(jax.jit(nnz_upper_bound)(a, b))
-    a_rowptr = np.asarray(a.rowptr)
-    a_lens = np.diff(a_rowptr)
-    b_len = np.diff(np.asarray(b.rowptr))
     total = int(nnz_ct.sum())
-
     if total <= stream_budget:
-        from .chunked import make_chunked_plan
+        return spgemm_chunked(a, b, make_chunked_plan(a, b))
 
-        return spgemm_chunked(a, b, make_chunked_plan(a, b, k=k))
-
-    if k is None:
-        nnz_a = int(a_rowptr[-1])
-        k = int(np.clip(round(total / max(nnz_a, 1)), 4, 256))
-    k = min(k, b.capacity)
-
-    blocks = plan_row_batches(nnz_ct, stream_budget)
-
-    out_rowptr = np.zeros(m + 1, np.int64)
-    cols_parts = []
-    vals_parts = []
-    lens_b = b_len[np.asarray(a.colidx)[: int(a_rowptr[-1])]]
-    chunk_per_entry = np.ceil(lens_b / k).astype(np.int64) if lens_b.size else lens_b
-    chunk_cum = np.concatenate([[0], np.cumsum(chunk_per_entry)])
-    prod_cum = np.concatenate([[0], np.cumsum(nnz_ct, dtype=np.int64)])
-    out_bound = np.concatenate(
-        [[0], np.cumsum(np.minimum(nnz_ct, n), dtype=np.int64)]
-    )
-
-    # UNIFORM capacities (max over blocks) so every block shares ONE
-    # compilation — per-block shape buckets caused a ~40-70 s compile per
-    # block through the remote compiler (measured: minutes -> one compile)
-    rows_cap = pad_bucket(max(hi - lo for lo, hi in blocks))
-    nnz_cap = pad_bucket(
-        max(int(a_rowptr[hi] - a_rowptr[lo]) for lo, hi in blocks)
-    )
-    chunks_cap = pad_bucket(
-        max(int(chunk_cum[a_rowptr[hi]] - chunk_cum[a_rowptr[lo]]) for lo, hi in blocks)
-    )
-    out_cap = pad_bucket(
-        max(int(min(prod_cum[hi] - prod_cum[lo], out_bound[hi] - out_bound[lo]))
-            for lo, hi in blocks)
-    )
-    plan = ChunkedPlan(
-        k=k,
-        chunks_cap=chunks_cap,
-        out_cap=out_cap,
-        max_run=pad_bucket(int(np.max(a_lens) if a_lens.size else 1)),
-    )
-
-    import logging
-
-    log = logging.getLogger(__name__)
-    for i, (lo, hi) in enumerate(blocks):
-        rows = np.arange(lo, hi, dtype=np.int32)
-        rows_pad = np.full(rows_cap, m, np.int32)
-        rows_pad[: rows.size] = rows
-        a_blk = csr_gather_rows(a, jnp.asarray(rows_pad), nnz_cap)
-        a_blk = CSR(a_blk.rowptr, a_blk.colidx, a_blk.vals, (rows_cap, a.n))
-        c_blk = spgemm_chunked(a_blk, b, plan)
-        if i % 8 == 0:
-            log.info("block %d/%d rows [%d, %d)", i + 1, len(blocks), lo, hi)
-        rp = np.asarray(c_blk.rowptr)[: rows.size + 1]
-        nnz_c_blk = int(rp[-1])
-        out_rowptr[lo + 1 : hi + 1] = out_rowptr[lo] + rp[1:]
-        cols_parts.append(np.asarray(c_blk.colidx)[:nnz_c_blk])
-        vals_parts.append(np.asarray(c_blk.vals)[:nnz_c_blk])
-
-    nnz_c = int(out_rowptr[m])
-    val_dtype = np.asarray(vals_parts[0]).dtype if vals_parts else np.float32
+    plan = _cached_plan(a, b, stream_budget, method)
+    nb = len(plan.blocks)
+    itemsize = np.dtype(a.vals.dtype).itemsize
     if as_scipy is None:
-        as_scipy = nnz_c * (4 + np.dtype(val_dtype).itemsize) > (2 << 30)
+        as_scipy = plan.nnz_c * (4 + itemsize) > (2 << 30)
+
+    # block values: static-bound slices of the device-resident full A,
+    # padded so the last block's slice stays in bounds
+    vals_pad = jnp.concatenate(
+        [a.vals, jnp.zeros(plan.nnz_cap, a.vals.dtype)]
+    )
+
+    blk_vals = []
+    if plan.method == "dense":
+        db = _dense_b(b)
+        for i, (lo, hi) in enumerate(plan.blocks):
+            mode, payload = plan.flat_c[i]
+            out = _dense_block(
+                vals_pad, plan.slice0[i], plan.blk_rows_e[i],
+                plan.blk_colidx[i], db, payload,
+                rows_cap=plan.rows_cap, nnz_cap=plan.nnz_cap,
+                kdim=a.n, mode=mode,
+            )
+            blk_vals.append((out, plan.nnz_c_blk[i]))
+    else:
+        if plan.method == "grouped":
+            from .grouped import spgemm_grouped
+        for i, (lo, hi) in enumerate(plan.blocks):
+            v = jax.lax.dynamic_slice(
+                vals_pad, (plan.slice0[i],), (plan.nnz_cap,)
+            )
+            a_blk = CSR(
+                plan.blk_rowptr[i], plan.blk_colidx[i], v,
+                (plan.rows_cap, a.n),
+            )
+            if plan.method == "grouped":
+                c_blk = spgemm_grouped(a_blk, b, plan.grouped_scheds[i])
+            else:
+                c_blk = spgemm_chunked(a_blk, b, plan.chunked_plan)
+            blk_vals.append((c_blk.vals, plan.nnz_c_blk[i]))
+            if i % 8 == 0:
+                log.info("block %d/%d dispatched", i + 1, nb)
+
+    # ---- assembly: ONE jitted concatenation of static value slices -------
+    vals = _assemble(
+        tuple(v for v, _ in blk_vals),
+        sizes=tuple(s for _, s in blk_vals),
+        cap=plan.cap_c,
+    )
     if as_scipy:
         import scipy.sparse as sp
 
-        colidx = np.concatenate(cols_parts) if cols_parts else np.zeros(0, np.int32)
-        vals = np.concatenate(vals_parts) if vals_parts else np.zeros(0, val_dtype)
+        host_vals = np.asarray(vals)[: plan.nnz_c]
         return sp.csr_matrix(
-            (vals, colidx, out_rowptr.astype(np.int64)), shape=(m, n)
+            (host_vals, plan.host_colidx[: plan.nnz_c].copy(),
+             plan.host_rowptr.astype(np.int64)),
+            shape=(m, n),
         )
-    cap = pad_bucket(max(nnz_c, 1))
-    colidx = np.zeros(cap, np.int32)
-    vals = np.zeros(cap, val_dtype)
-    off = 0
-    for c_, v_ in zip(cols_parts, vals_parts):
-        colidx[off : off + len(c_)] = c_
-        vals[off : off + len(v_)] = v_
-        off += len(c_)
     return CSR(
-        rowptr=jnp.asarray(out_rowptr.astype(np.int32)),
-        colidx=jnp.asarray(colidx),
-        vals=jnp.asarray(vals),
+        rowptr=plan.out_rowptr,
+        colidx=plan.out_colidx,
+        vals=vals,
         shape=(m, n),
     )
+
+
+def _dense_block(
+    vals_pad, s0, rows_e, cols_e, db, payload, *,
+    rows_cap, nnz_cap, kdim, mode,
+):
+    """One dense-MXU block: densify the A row slice (scatter-SET; padding
+    entries target the guard row), matmul against the resident dense B,
+    extract C values at the static structural positions. Extraction mode
+    (static): 'full' identity / 'shift' monotone compaction (near-dense) /
+    'gather' flat positions (sparse C)."""
+    if mode == "shift":
+        kept, disp, disp_bits = payload
+        return _dense_block_jit(
+            vals_pad, s0, rows_e, cols_e, db, kept, disp,
+            rows_cap=rows_cap, nnz_cap=nnz_cap, kdim=kdim,
+            mode=mode, disp_bits=disp_bits,
+        )
+    return _dense_block_jit(
+        vals_pad, s0, rows_e, cols_e, db, payload, None,
+        rows_cap=rows_cap, nnz_cap=nnz_cap, kdim=kdim,
+        mode=mode, disp_bits=0,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("rows_cap", "nnz_cap", "kdim", "mode", "disp_bits"),
+)
+def _dense_block_jit(
+    vals_pad, s0, rows_e, cols_e, db, p1, p2, *,
+    rows_cap, nnz_cap, kdim, mode, disp_bits,
+):
+    from .chunked import _shift_compact
+
+    v = jax.lax.dynamic_slice(vals_pad, (s0,), (nnz_cap,))
+    da = jnp.zeros((rows_cap + 1, kdim), v.dtype)
+    da = da.at[rows_e, cols_e].set(v, mode="drop")
+    cd = jnp.matmul(
+        da[:rows_cap], db, precision=jax.lax.Precision.HIGHEST
+    )
+    flat = cd.reshape(-1)
+    if mode == "full":  # block C structurally full: identity extraction
+        return flat
+    if mode == "shift":
+        kept, disp = p1, p2
+        (out,) = _shift_compact(kept, disp, [flat], disp_bits)
+        return out
+    guard = jnp.concatenate([flat, jnp.zeros(1, flat.dtype)])
+    return guard[jnp.clip(p1, 0, flat.shape[0])]
+
+
+@functools.partial(jax.jit, static_argnames=("sizes", "cap"))
+def _assemble(blk_vals, *, sizes, cap):
+    parts = [v[:s] for v, s in zip(blk_vals, sizes)]
+    out = jnp.concatenate(parts)
+    pad = cap - out.shape[0]
+    if pad > 0:
+        out = jnp.concatenate([out, jnp.zeros(pad, out.dtype)])
+    return out

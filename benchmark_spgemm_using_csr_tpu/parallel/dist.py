@@ -123,7 +123,8 @@ def unshard(c: ShardedCSR, trim: bool = True) -> CSR:
 
 
 def make_dist_local_plan(
-    a: CSR, b: CSR, n_shards: int, halo_lens: list | None = None
+    a: CSR, b: CSR, n_shards: int, halo_lens: list | None = None,
+    bounds: np.ndarray | None = None,
 ) -> ChunkedPlan:
     """Tuned ChunkedPlan for the shard_map local kernel: the GLOBAL plan's
     mode decisions (k / al-aligned tables / wide split / scatter-SET /
@@ -134,6 +135,10 @@ def make_dist_local_plan(
     halo_lens: per-shard arrays of assembled-halo B row lengths (halo
     schedule) — sizes the in-graph aligned/wide table builds against the
     halo instead of the full B.
+
+    bounds: optional explicit row boundaries (n_shards + 1,) for NON-uniform
+    row blocks — the out-of-core path's product-balanced blocks
+    (ops/batched) reuse this unification verbatim, per VERDICT r2 next #3.
     """
     base = make_chunked_plan(a, b)
     if base.al_min:  # mixed mode is never auto-picked; keep dist plans pure
@@ -146,7 +151,12 @@ def make_dist_local_plan(
     rowptr_full = np.concatenate(
         [rowptr, np.full(n_shards * m_loc - m, rowptr[-1], np.int64)]
     )
-    bounds_e = rowptr_full[np.arange(n_shards + 1) * m_loc]
+    if bounds is None:
+        row_bounds = np.arange(n_shards + 1) * m_loc
+    else:
+        row_bounds = np.asarray(bounds, np.int64)
+        assert len(row_bounds) == n_shards + 1
+    bounds_e = rowptr_full[row_bounds]
     b_len = np.diff(host_view(b.rowptr)).astype(np.int64)
     lens_all = b_len[host_view(a.colidx)[:nnz_a]]
 
@@ -173,8 +183,8 @@ def make_dist_local_plan(
     out_row = np.minimum(row_prod, b.n)
     oc = np.concatenate([[0], np.cumsum(out_row, dtype=np.int64)])
     out_max = int(
-        (oc[(np.arange(n_shards) + 1) * m_loc]
-         - oc[np.arange(n_shards) * m_loc]).max(initial=1)
+        (oc[np.minimum(row_bounds[1:], m)]
+         - oc[np.minimum(row_bounds[:-1], m)]).max(initial=1)
     )
 
     abpad_cap, bpad_cap = base.abpad_cap, base.bpad_cap

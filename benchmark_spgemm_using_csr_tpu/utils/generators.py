@@ -126,6 +126,53 @@ def stencil27(k: int, dtype=np.float32) -> sp.csr_matrix:
     return mat.astype(dtype)
 
 
+def fem(
+    k: int, dof: int = 3, fill: float = 0.7, dtype=np.float32, seed: int = 0
+) -> sp.csr_matrix:
+    """cant / consph / pdb1HYS analogue (SURVEY.md §8): a 3D k^3 mesh with
+    ``dof`` unknowns per node and 27-point node connectivity, each
+    (node, neighbor) dof x dof block kept with probability ``fill``.
+
+    Row lengths land irregularly in the classic FEM band (~dof*27*fill,
+    i.e. ~40-80 nnz at dof=3): binomial block pruning varies rows the way
+    element meshes do, and the dof blocks spread the structure over
+    ~27 * (2*dof - 1) distinct diagonals — banded-ish but NOT
+    diagonal-regular, so the DIA path's term cap rejects it and the
+    irregular mid-row (bitonic-ESC bin) kernels carry the matrix, exactly
+    the regime the reference's cant/consph stress (VERDICT r2 missing #3)."""
+    rng = np.random.default_rng(seed)
+    nn = k * k * k
+    idx = np.arange(nn, dtype=np.int64)
+    x, y, z = idx // (k * k), (idx // k) % k, idx % k
+    rows_l, cols_l = [], []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                nx, ny, nz = x + dx, y + dy, z + dz
+                ok = (
+                    (nx >= 0) & (nx < k) & (ny >= 0) & (ny < k)
+                    & (nz >= 0) & (nz < k)
+                )
+                if (dx, dy, dz) != (0, 0, 0):  # keep diagonal blocks always
+                    ok &= rng.random(nn) < fill
+                rows_l.append(idx[ok])
+                cols_l.append((nx * k * k + ny * k + nz)[ok])
+    brow = np.concatenate(rows_l)
+    bcol = np.concatenate(cols_l)
+    # expand each kept node block to a dense dof x dof block
+    di = np.arange(dof, dtype=np.int64)
+    r = brow[:, None, None] * dof + di[None, :, None]  # (B, dof, 1)
+    c = bcol[:, None, None] * dof + di[None, None, :]  # (B, 1, dof)
+    r, c = np.broadcast_arrays(r, c)
+    r, c = r.reshape(-1).copy(), c.reshape(-1).copy()
+    v = rng.standard_normal(r.size).astype(dtype)
+    n = nn * dof
+    mat = sp.coo_matrix((v, (r, c)), shape=(n, n)).tocsr()
+    mat.sum_duplicates()
+    mat.sort_indices()
+    return mat
+
+
 def circuit(
     n: int, nnz_per_row: float = 3.0, n_hubs: int | None = None,
     hub_deg: int | None = None, dtype=np.float32, seed: int = 0,
@@ -204,4 +251,12 @@ SUITE = {
     #                     ^ mac_econ_fwd500: 206500 rows, mean ~6 nnz/row
     "mc2depi_524k": lambda: poisson2d(724),  # 524176 rows, 5-pt stencil
     "scircuit_256k": lambda: circuit(262144),
+    # FEM-irregular family (VERDICT r2 missing #3 / next #8): cant/consph
+    # analogues at two sizes + a pdb1HYS-like denser small one — irregular
+    # ~40-80 nnz rows that exercise the mid-row ESC bin with NO regular
+    # diagonal structure for the DIA path to exploit
+    "fem_17k": lambda: fem(18, dof=3, fill=0.7, seed=3),   # 17496 rows
+    "fem_32k": lambda: fem(22, dof=3, fill=0.7, seed=4),   # 31944 rows
+    "pdb_8k": lambda: fem(14, dof=3, fill=0.9, seed=5),    # 8232 rows,
+    #                      ^ denser blocks: ~73 nnz/row (pdb1HYS ~119)
 }

@@ -30,6 +30,7 @@ class BenchResult:
     runs: int
     flops: int = 0
     nnz_out: int = 0
+    times: tuple = ()  # raw per-run wall seconds
 
     @property
     def gflops(self) -> float:
@@ -71,7 +72,23 @@ def _block(tree):
     )
 
 
-def bench_delta(
+@dataclasses.dataclass
+class DeltaResult:
+    """Median-of-repeats device time per iteration with spread diagnostics
+    (VERDICT r2 weak #2: single-shot numbers swung 32% on sub-30 us DIA
+    bodies; the headline must be a median with a recorded spread)."""
+
+    per_s: float  # median per-iteration device seconds
+    k2: int  # second scan length (0 = slow body, wall/k1 only)
+    spread: float  # (max - min) / median over the per-run estimates
+    samples: tuple = ()  # the individual per-iteration estimates
+
+    @property
+    def unstable(self) -> bool:
+        return self.spread > 0.10
+
+
+def bench_delta_stats(
     kfac: Callable[[int], Callable],
     vary: Callable[[int], tuple],
     *,
@@ -82,7 +99,7 @@ def bench_delta(
     t_target: float = 0.15,
     dispatch_floor: float = 0.026,
     slow_threshold: float = 0.015,
-) -> tuple[float, int]:
+) -> DeltaResult:
     """Per-iteration device seconds of ``kfac(k)`` — a factory returning a
     jitted fn that scans k data-dependent pipeline iterations.
 
@@ -91,20 +108,48 @@ def bench_delta(
     times kfac(k2) (k2 sized so k2 x body ~ t_target) and returns the
     two-length delta (wall(k2) - wall(k1)) / (k2 - k1): the per-dispatch
     constant cancels exactly (CLAUDE.md: only trust in-graph K-scan
-    DELTAS). Returns (seconds_per_iteration, k2_used_or_0)."""
+    DELTAS).
+
+    Statistics: both scan lengths run ``runs`` times (distinct input bits
+    per run — tunnel trap); per-run pairwise deltas give ``runs``
+    independent estimates, and the reported figure is their MEDIAN with
+    (max-min)/median spread. Reusing the two executables costs no extra
+    compiles over the single-shot r2 harness."""
+    import statistics
+
     r1 = bench(kfac(k1), name=name, warmup=1, runs=runs,
                flops=flops * k1, vary=vary)
-    per = r1.mean_s / k1
     t_est = max((r1.mean_s - dispatch_floor) / k1, 2e-5)
     k2 = 0
     if t_est < slow_threshold:
         k2 = int(min(4096, max(4 * k1, round(t_target / t_est))))
         r2 = bench(kfac(k2), name=f"{name}_k{k2}", warmup=1, runs=runs,
                    flops=flops * k2, vary=vary)
-        delta = (r2.mean_s - r1.mean_s) / (k2 - k1)
-        if delta > 0:
-            per = delta
-    return per, k2
+        samples = [
+            (t2 - t1) / (k2 - k1)
+            for t1, t2 in zip(r1.times, r2.times)
+        ]
+        positive = [s for s in samples if s > 0]
+        if positive:
+            med = statistics.median(positive)
+            spread = (max(positive) - min(positive)) / med
+            return DeltaResult(med, k2, spread, tuple(samples))
+        # delta collapsed under jitter: fall back to the k1 quotient
+        k2 = 0
+    samples = [t / k1 for t in r1.times]
+    med = statistics.median(samples)
+    spread = (max(samples) - min(samples)) / med if med else 0.0
+    return DeltaResult(med, k2, spread, tuple(samples))
+
+
+def bench_delta(
+    kfac: Callable[[int], Callable],
+    vary: Callable[[int], tuple],
+    **kw,
+) -> tuple[float, int]:
+    """Back-compat wrapper: (median_per_iteration_s, k2)."""
+    r = bench_delta_stats(kfac, vary, **kw)
+    return r.per_s, r.k2
 
 
 def bench(
@@ -141,4 +186,5 @@ def bench(
         runs=runs,
         flops=flops,
         nnz_out=nnz_out,
+        times=tuple(times),
     )
