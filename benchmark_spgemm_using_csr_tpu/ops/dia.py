@@ -30,17 +30,40 @@ from ..sparse.csr import CSR, host_view
 from ..sparse.dia import DIA
 
 
-def dia_spgemm(a: DIA, b: DIA) -> DIA:
+def dia_spgemm(a: DIA, b: DIA, fused: bool | None = None) -> DIA:
     """C = A @ B entirely on diagonal planes (jit-able; offsets static).
 
     Cost: ndiag(A) * ndiag(B) length-n fused FMAs — bandwidth-bound, no
     data-dependent memory access. Invalid slots stay exactly 0 because both
     inputs honor the DIA zero-outside-matrix invariant.
-    """
+
+    fused: route through the Pallas multi-plane kernel
+    (ops/dia_pallas.dia_spgemm_fused) that keeps every plane VMEM-resident
+    per column block — each plane crosses HBM once instead of once per
+    pairing (VERDICT r2 #6). Default auto: TPU backend, f32, shift span
+    fits the block. The XLA gather form remains the fallback and the CPU
+    test oracle."""
     m, k = a.shape
     k2, n = b.shape
     if k != k2:
         raise ValueError(f"inner dims mismatch: {a.shape} @ {b.shape}")
+    if fused is None:
+        bj = 4096
+        span = max([0] + [d for d in b.offsets if d > 0]) + max(
+            [0] + [-d for d in b.offsets if d < 0]
+        )
+        fused = (
+            jax.default_backend() == "tpu"
+            and jnp.result_type(a.dtype, b.dtype) == jnp.float32
+            and span <= bj
+            and a.ndiag * b.ndiag <= 8192
+            and a.ndiag > 0
+            and b.ndiag > 0
+        )
+    if fused:
+        from .dia_pallas import dia_spgemm_fused
+
+        return dia_spgemm_fused(a, b)
     off_c = sorted({d1 + d2 for d1 in a.offsets for d2 in b.offsets})
     out_dtype = jnp.result_type(a.dtype, b.dtype)
     if not off_c:  # either operand all-zero (no stored diagonals)

@@ -289,7 +289,8 @@ def estimate_grouped_s(a: CSR, b: CSR | None = None) -> float:
         return 0.0
     if products > (1 << 27):
         return float("inf")
-    if str(a.vals.dtype) not in ("float32", "bfloat16", "float16"):
+    dtype = str(a.vals.dtype)
+    if dtype not in ("float32", "bfloat16", "float16", "float64"):
         return float("inf")  # value bits must pack into int32 lanes
     m, n = a.m, b.n
     if max(int(n - 1).bit_length(), 1) > 31:
@@ -302,6 +303,10 @@ def estimate_grouped_s(a: CSR, b: CSR | None = None) -> float:
         estimate_mode_ns(m, nnz, products, products, 0),
         estimate_mode_ns(m, nnz, slots_a, slots_a // 8, abpad8),
     )
+    if dtype == "float64":
+        # double-word lane: values ride two int32 lanes (3-operand sort,
+        # doubled value traffic, emulated-f64 multiply/run-sum)
+        cost *= 2.2
     return CHUNKED_FIXED_S + cost * 1e-9
 
 

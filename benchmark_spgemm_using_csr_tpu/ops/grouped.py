@@ -79,6 +79,10 @@ class GroupedPlan:
     disp_bits: int  # compaction displacement bits (padding + duplicates)
     max_run: int  # run-sum pass bound (max nnz of any A row, padded)
     scatter_set: bool  # collision-free scatter-SET propagation
+    # post-sort tail implementation: 'shift' = global runsum + log(holes)
+    # shift compaction; 'scan' = fused block-scan runsum+compaction
+    # (ops/scancompact — one stream pass instead of ~disp_bits passes)
+    tail_mode: str = "shift"
 
     @property
     def s_cap(self) -> int:  # chunk-slot stream length
@@ -132,6 +136,7 @@ def make_grouped_plan(
     a: CSR, b: CSR, al: int | None = None, target_slots: int | None = None,
     fixed: GroupedPlan | None = None,
     force_scatter_set: bool | None = None,
+    tail_mode: str = "shift",
 ) -> GroupedSchedule | None:
     """Host stage-2: chunk quantization -> greedy row->group packing.
 
@@ -152,8 +157,10 @@ def make_grouped_plan(
         return None
     if fixed is not None:
         al = fixed.al
-    if a.vals.dtype not in (jnp.float32, jnp.bfloat16, jnp.float16):
-        return None  # value bits must pack into int32 lanes
+    if a.vals.dtype not in (
+        jnp.float32, jnp.bfloat16, jnp.float16, jnp.float64
+    ):
+        return None  # value bits must pack into int32 lanes (f64 uses two)
     a_rowptr = host_view(a.rowptr)[: m + 1].astype(np.int64)
     nnz_a = int(a_rowptr[-1])
     b_rowptr = host_view(b.rowptr).astype(np.int64)
@@ -344,6 +351,7 @@ def make_grouped_plan(
                 )
             ),
             scatter_set=bool(scatter_set),
+            tail_mode=tail_mode,
         )
     slot0 = (tile_of * cs + base_chunk).astype(np.int32)
     return GroupedSchedule(
@@ -372,6 +380,22 @@ def _spgemm_grouped(
     al, lanes = plan.al, plan.lanes
     S = plan.s_cap  # chunk slots
     W = plan.cs * lanes  # product slots per group
+    # f64 double-word lane (VERDICT r2 #7): values ride TWO packed int32
+    # lanes end-to-end (gather tables, propagation, sort operands) and are
+    # reconstituted to f64 only for the product multiply and run-sum — the
+    # descriptor/sort machinery never widens
+    dd = a.vals.dtype == jnp.float64
+    vdt = jnp.float64 if dd else F32
+    vw = 2 if dd else 1  # value int32 lanes
+
+    def _v_bits(x):  # (…,) vdt -> (…, vw) int32
+        bits = jax.lax.bitcast_convert_type(x.astype(vdt), jnp.int32)
+        return bits if dd else bits[..., None]
+
+    def _v_from(bits):  # (…, vw) int32 -> (…,) vdt
+        return jax.lax.bitcast_convert_type(
+            bits if dd else bits[..., 0], vdt
+        )
 
     # ---- per-entry chunk metadata -> group-strided slot destinations ----
     a_rows = a.row_ids()
@@ -400,21 +424,17 @@ def _spgemm_grouped(
         src_l = src0[:, None] + lane[None, :]
         valid_tbl = src_l < tm[:, 1:2]
         src2 = jnp.clip(src_l, 0, b.capacity - 1)
-        b_packed = jnp.stack(
+        b_packed = jnp.concatenate(
+            [b.colidx.astype(jnp.int32)[:, None], _v_bits(b.vals)], axis=1
+        )  # (cap, 1 + vw)
+        raw = b_packed[src2.reshape(-1), :].reshape(nrows_tbl, al, 1 + vw)
+        tbl = jnp.concatenate(
             [
-                b.colidx.astype(jnp.int32),
-                jax.lax.bitcast_convert_type(b.vals.astype(F32), jnp.int32),
-            ],
-            axis=1,
-        )
-        raw = b_packed[src2.reshape(-1), :].reshape(nrows_tbl, al, 2)
-        tbl = jnp.stack(
-            [
-                jnp.where(valid_tbl, raw[:, :, 0], -1),
-                jnp.where(valid_tbl, raw[:, :, 1], 0),
+                jnp.where(valid_tbl, raw[:, :, 0], -1)[:, :, None],
+                jnp.where(valid_tbl[:, :, None], raw[:, :, 1:], 0),
             ],
             axis=2,
-        ).reshape(nrows_tbl, 2 * al)
+        ).reshape(nrows_tbl, (1 + vw) * al)
         meta_pair = jnp.stack([pstart, b_len_all], axis=1)
         pair = meta_pair[a.colidx, :]
         p_start0 = pair[:, 0]
@@ -476,11 +496,12 @@ def _spgemm_grouped(
     acc = acc.at[fill_end.astype(INDEX_DTYPE)].add(-BIG, mode="drop")
     posb = jnp.cumsum(acc)
 
-    q_aval = jax.lax.bitcast_convert_type(a.vals.astype(F32), jnp.int32)
-    (aval_bits,) = _propagate_entry_consts(
-        fs, (q_aval,), S, use_set=plan.scatter_set
+    q_aval = _v_bits(a.vals)  # (cap, vw)
+    aval_bits = _propagate_entry_consts(
+        fs, tuple(q_aval[:, j] for j in range(vw)), S,
+        use_set=plan.scatter_set,
     )
-    a_val = jax.lax.bitcast_convert_type(aval_bits, F32)
+    a_val = _v_from(jnp.stack(aval_bits, axis=-1))
     s_ids = jnp.arange(S, dtype=INDEX_DTYPE)
     pos = posb + lanes * s_ids
     row_chunks = row_chunk_start[1:] - row_chunk_start[:-1]
@@ -488,23 +509,19 @@ def _spgemm_grouped(
     # ---- expansion ------------------------------------------------------
     if al:
         trow = jnp.clip(pos // al, 0, nrows_tbl - 1)
-        out = tbl[trow, :]  # (S, 2*al): al pairs per descriptor
-        col = out[:, 0::2]
-        b_val = jax.lax.bitcast_convert_type(out[:, 1::2], F32)
+        out = tbl[trow, :].reshape(-1, al, 1 + vw)
+        col = out[:, :, 0]  # (S, al) triples-per-descriptor when dd
+        b_val = _v_from(out[:, :, 1:])
         val = b_val * a_val[:, None]
         lv = (pos >= 0)[:, None] & (col >= 0)
     else:
         gidx = jnp.clip(pos, 0, b.capacity - 1)
-        b_packed = jnp.stack(
-            [
-                b.colidx.astype(jnp.int32),
-                jax.lax.bitcast_convert_type(b.vals.astype(F32), jnp.int32),
-            ],
-            axis=1,
+        b_packed = jnp.concatenate(
+            [b.colidx.astype(jnp.int32)[:, None], _v_bits(b.vals)], axis=1
         )
-        tile = b_packed[gidx, :]  # (S, 2)
+        tile = b_packed[gidx, :]  # (S, 1 + vw)
         col = tile[:, 0:1]
-        b_val = jax.lax.bitcast_convert_type(tile[:, 1:2], F32)
+        b_val = _v_from(tile[:, 1:])[:, None]
         val = b_val * a_val[:, None]
         lv = (pos >= 0)[:, None]
 
@@ -523,52 +540,82 @@ def _spgemm_grouped(
     key = jnp.where(
         lv, key_hi[:, None] | col.astype(U32), SENTINEL_U32
     )
-    valm = jnp.where(lv, val, 0.0)
+    valm = jnp.where(lv, val, jnp.zeros((), val.dtype))
 
     key2 = key.reshape(plan.g_cap, W)
-    val2 = valm.reshape(plan.g_cap, W)
 
     # ---- ONE 2D sort: every group independently, log2(W)^2/2 depth ------
-    okey, oval = jax.lax.sort((key2, val2), dimension=1, num_keys=1)
-    okey = okey.reshape(-1)
-    oval = oval.reshape(-1)
+    if dd:
+        # f64 values ride as two int32 sort operands (the sort unit never
+        # sees a wide dtype); reconstituted after
+        vb = jax.lax.bitcast_convert_type(valm, jnp.int32)
+        hi2 = vb[..., 0].reshape(plan.g_cap, W)
+        lo2 = vb[..., 1].reshape(plan.g_cap, W)
+        okey, ohi, olo = jax.lax.sort(
+            (key2, hi2, lo2), dimension=1, num_keys=1
+        )
+        okey = okey.reshape(-1)
+        oval = jax.lax.bitcast_convert_type(
+            jnp.stack([ohi.reshape(-1), olo.reshape(-1)], axis=-1),
+            jnp.float64,
+        )
+    else:
+        val2 = valm.reshape(plan.g_cap, W)
+        okey, oval = jax.lax.sort((key2, val2), dimension=1, num_keys=1)
+        okey = okey.reshape(-1)
+        oval = oval.reshape(-1)
 
-    # ---- segmented run-sum + tails --------------------------------------
-    # runs never straddle groups: reuse the chunked run-sum with row :=
-    # group id (a broadcasted iota — no gather) and col := packed key
-    gid = jax.lax.broadcasted_iota(
-        jnp.int32, (plan.g_cap, W), 0
-    ).reshape(-1)
-    run = _segmented_runsum(gid, okey.astype(jnp.int32), oval,
-                            max_run=plan.max_run)
-    valid_s = okey != SENTINEL_U32
-    nxt_same = jnp.concatenate(
-        [
-            (okey[1:] == okey[:-1]) & (gid[1:] == gid[:-1]),
-            jnp.zeros((1,), jnp.bool_),
-        ]
-    )
-    kept = valid_s & ~nxt_same  # run tails
+    if plan.tail_mode == "scan":
+        # ---- fused block-scan runsum + compaction (ops/scancompact) -----
+        from .scancompact import runsum_compact_scan
 
-    # ---- rowptr: (m+1)-gather into the tail cumsum at host-known sorted
-    # offsets (valid products of each row occupy a deterministic span) ----
-    tails_cum = jnp.cumsum(kept.astype(INDEX_DTYPE))
-    exc = jnp.concatenate([jnp.zeros((1,), INDEX_DTYPE), tails_cum])
-    rowptr = exc[jnp.clip(sorted_off, 0, exc.shape[0] - 1)]
+        keyc_o, valc_o, tails_cum = runsum_compact_scan(
+            okey, oval, w=W, out_cap=plan.out_cap, max_run=plan.max_run
+        )
+        exc = jnp.concatenate([jnp.zeros((1,), INDEX_DTYPE), tails_cum])
+        rowptr = exc[jnp.clip(sorted_off, 0, exc.shape[0] - 1)]
+        out_col = (
+            keyc_o.astype(U32) & ((1 << plan.cbits) - 1)
+        ).astype(INDEX_DTYPE)
+        out_val = valc_o.astype(a.vals.dtype)
+    else:
+        # ---- segmented run-sum + tails ----------------------------------
+        # runs never straddle groups: reuse the chunked run-sum with row :=
+        # group id (a broadcasted iota — no gather) and col := packed key
+        gid = jax.lax.broadcasted_iota(
+            jnp.int32, (plan.g_cap, W), 0
+        ).reshape(-1)
+        run = _segmented_runsum(gid, okey.astype(jnp.int32), oval,
+                                max_run=plan.max_run)
+        valid_s = okey != SENTINEL_U32
+        nxt_same = jnp.concatenate(
+            [
+                (okey[1:] == okey[:-1]) & (gid[1:] == gid[:-1]),
+                jnp.zeros((1,), jnp.bool_),
+            ]
+        )
+        kept = valid_s & ~nxt_same  # run tails
 
-    # ---- monotone shift compaction --------------------------------------
-    disp = (
-        jnp.arange(plan.prod_cap, dtype=INDEX_DTYPE)
-        - (tails_cum - kept.astype(INDEX_DTYPE))
-    )
-    keyc, valc = _shift_compact(
-        kept, jnp.where(kept, disp, 0),
-        [okey.astype(jnp.int32), run], plan.disp_bits,
-    )
-    out_col = (
-        keyc[: plan.out_cap].astype(U32) & ((1 << plan.cbits) - 1)
-    ).astype(INDEX_DTYPE)
-    out_val = valc[: plan.out_cap].astype(a.vals.dtype)
+        # ---- rowptr: (m+1)-gather into the tail cumsum at host-known
+        # sorted offsets (valid products of each row occupy a
+        # deterministic span) ---------------------------------------------
+        tails_cum = jnp.cumsum(kept.astype(INDEX_DTYPE))
+        exc = jnp.concatenate([jnp.zeros((1,), INDEX_DTYPE), tails_cum])
+        rowptr = exc[jnp.clip(sorted_off, 0, exc.shape[0] - 1)]
+
+        # ---- monotone shift compaction ----------------------------------
+        disp = (
+            jnp.arange(plan.prod_cap, dtype=INDEX_DTYPE)
+            - (tails_cum - kept.astype(INDEX_DTYPE))
+        )
+        keyc, valc = _shift_compact(
+            kept, jnp.where(kept, disp, 0),
+            [okey.astype(jnp.int32), run], plan.disp_bits,
+        )
+        out_col = (
+            keyc[: plan.out_cap].astype(U32) & ((1 << plan.cbits) - 1)
+        ).astype(INDEX_DTYPE)
+        out_val = valc[: plan.out_cap].astype(a.vals.dtype)
     oc = jnp.arange(plan.out_cap, dtype=INDEX_DTYPE)
     nnz_rt = rowptr[-1]
     out_col = jnp.where(oc < nnz_rt, out_col, 0)

@@ -72,6 +72,24 @@ def _block(tree):
     )
 
 
+def _force(tree):
+    """Block AND fetch one scalar element of every output leaf.
+
+    The axon tunnel can DEFER a dispatch and still return "ready" from
+    block_until_ready (CLAUDE.md trap; re-measured 2026-08-20: fresh-input
+    dispatches of a 12M-slot pipeline "completed" in 0.03-0.1 ms, then a
+    later trivial fetch stalled for many minutes behind the orphaned
+    backlog — and bench_delta, fed the phantom ~0 ms body estimate, sized
+    K2=4096 scans that poisoned the queue for half an hour). Fetching a
+    VALUE forces real execution, so timed walls are honest."""
+    for x in jax.tree_util.tree_leaves(tree):
+        if hasattr(x, "shape"):
+            import numpy as _np
+
+            _np.asarray(x[(0,) * x.ndim] if x.ndim else x)
+    return tree
+
+
 @dataclasses.dataclass
 class DeltaResult:
     """Median-of-repeats device time per iteration with spread diagnostics
@@ -171,13 +189,13 @@ def bench(
     for _ in range(warmup):
         run_args = _block(vary(idx)) if vary else args
         idx += 1
-        _block(fn(*run_args))
+        _force(fn(*run_args))
     times = []
     for _ in range(runs):
         run_args = _block(vary(idx)) if vary else args
         idx += 1
         t0 = time.perf_counter()
-        _block(fn(*run_args))
+        _force(fn(*run_args))
         times.append(time.perf_counter() - t0)
     return BenchResult(
         name=name,

@@ -69,3 +69,45 @@ print("F64 OK")
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "F64 OK" in out.stdout
+
+
+@pytest.mark.slow
+def test_f64_grouped_subprocess():
+    """f64 double-word lane through grouped-ESC (VERDICT r2 #7): values
+    ride two packed int32 lanes; x64 scipy oracle at rtol 1e-12."""
+    code = r"""
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import numpy as np
+from benchmark_spgemm_using_csr_tpu import CSR
+from benchmark_spgemm_using_csr_tpu.ops.grouped import (
+    make_grouped_plan, spgemm_grouped)
+from benchmark_spgemm_using_csr_tpu.utils import generators
+
+for al in (0, 8):
+    for tail in ("shift", "scan"):
+        a_sp = generators.power_law(
+            300, 300, alpha=1.9, max_deg=96, seed=6).astype(np.float64)
+        a = CSR.from_scipy(a_sp)
+        sched = make_grouped_plan(a, a, al=al, tail_mode=tail)
+        assert sched is not None, (al, tail)
+        c = spgemm_grouped(a, a, sched)
+        assert str(c.vals.dtype) == "float64", c.vals.dtype
+        want = (a_sp @ a_sp).toarray()
+        np.testing.assert_allclose(
+            np.asarray(c.to_scipy().toarray()), want,
+            rtol=1e-12, atol=1e-12, err_msg=f"al={al} tail={tail}")
+print("F64 GROUPED OK")
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=560,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "F64 GROUPED OK" in out.stdout

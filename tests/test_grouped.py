@@ -125,3 +125,18 @@ def test_key_bit_cap_large_n():
     b = sp.random(1 << 20, 300, 40 / (1 << 20), format="csr",
                   random_state=rng)
     _run(a, b)
+
+
+def test_grouped_scan_tail_mode():
+    """Fused block-scan runsum+compaction (ops/scancompact) must match the
+    shift-compaction path exactly on every regime it claims."""
+    for a_sp in (
+        generators.erdos_renyi(600, 600, 7.0, seed=3),
+        generators.power_law(500, 500, alpha=1.9, max_deg=128, seed=4),
+        generators.circuit(512, seed=5),
+    ):
+        a = CSR.from_scipy(a_sp)
+        sched = make_grouped_plan(a, a, tail_mode="scan")
+        assert sched is not None and sched.plan.tail_mode == "scan"
+        c = spgemm_grouped(a, a, sched)
+        assert_csr_equal(c, spgemm_reference(a, a), rtol=1e-4, atol=1e-5)
