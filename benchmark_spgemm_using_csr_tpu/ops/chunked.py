@@ -127,6 +127,10 @@ class ChunkedPlan:
     # histogram. 0 = single-mode (all short rows take one path).
     al_min: int = 0
     nchunks_cap: int = 0  # narrow-substream chunk capacity (k=1 chunks)
+    # post-sort tail implementation: 'shift' = global runsum + disp_bits
+    # shift-compaction passes; 'scan' = fused block-scan runsum+compaction
+    # (ops/scancompact — one stream pass; packed single-key sorts only)
+    tail_mode: str = "shift"
 
     @property
     def prod_cap(self) -> int:
@@ -921,39 +925,79 @@ def merge_products(row, col, val, m: int, n: int, out_cap: int,
             )
             val = jnp.where(corner_mask, jnp.zeros((), val.dtype), val)
         rc, val = jax.lax.sort((rc, val), num_keys=1)
-        run_val = _segmented_runsum(rc, rc, val, max_run)
-        valid = rc != u32max
-        next_rc = jnp.concatenate([rc[1:], jnp.full((1,), u32max, rc.dtype)])
-        is_tail = valid & (rc != next_rc)
         row_sorted = jnp.minimum(rc >> cbits, jnp.uint32(m)).astype(
             INDEX_DTYPE
         )
-        uniq_pos = jnp.cumsum(is_tail.astype(INDEX_DTYPE)) - 1
-        if compact == "shift":
-            disp = jnp.arange(cap, dtype=INDEX_DTYPE) - uniq_pos
-            rc_c, val_c = _shift_compact(is_tail, disp, [rc, run_val], disp_bits)
+        if compact == "scan":
+            from .scancompact import runsum_compact_scan
+
+            rc_ci, val_c, tails = runsum_compact_scan(
+                rc, val, w=cap, out_cap=out_cap,
+                max_run=max_run or cap,
+            )
+            uniq_pos = tails - 1
+            n_uniq = tails[-1]
+            rc_c = rc_ci
+            col_c = (
+                rc_ci.astype(jnp.uint32) & jnp.uint32((1 << cbits) - 1)
+            ).astype(INDEX_DTYPE)
         else:
-            key = jnp.where(is_tail, uniq_pos, cap).astype(INDEX_DTYPE)
-            _, rc_c, val_c = jax.lax.sort((key, rc, run_val), num_keys=1)
-        n_uniq = jnp.sum(is_tail.astype(INDEX_DTYPE))
-        col_c = (rc_c & jnp.uint32((1 << cbits) - 1)).astype(INDEX_DTYPE)
+            run_val = _segmented_runsum(rc, rc, val, max_run)
+            valid = rc != u32max
+            next_rc = jnp.concatenate(
+                [rc[1:], jnp.full((1,), u32max, rc.dtype)]
+            )
+            is_tail = valid & (rc != next_rc)
+            uniq_pos = jnp.cumsum(is_tail.astype(INDEX_DTYPE)) - 1
+            if compact == "shift":
+                disp = jnp.arange(cap, dtype=INDEX_DTYPE) - uniq_pos
+                rc_c, val_c = _shift_compact(
+                    is_tail, disp, [rc, run_val], disp_bits
+                )
+            else:
+                key = jnp.where(is_tail, uniq_pos, cap).astype(INDEX_DTYPE)
+                _, rc_c, val_c = jax.lax.sort(
+                    (key, rc, run_val), num_keys=1
+                )
+            n_uniq = jnp.sum(is_tail.astype(INDEX_DTYPE))
+            col_c = (rc_c & jnp.uint32((1 << cbits) - 1)).astype(INDEX_DTYPE)
     elif bits:
         rc = (row.astype(INDEX_DTYPE) << bits) | col.astype(INDEX_DTYPE)
         rc, val = jax.lax.sort((rc, val), num_keys=1)
-        run_val = _segmented_runsum(rc, rc, val, max_run)
         valid = rc < (m << bits)
-        next_rc = jnp.concatenate([rc[1:], jnp.full((1,), -1, rc.dtype)])
-        is_tail = valid & (rc != next_rc)
         row_sorted = jnp.minimum(rc >> bits, m)
-        uniq_pos = jnp.cumsum(is_tail.astype(INDEX_DTYPE)) - 1
-        if compact == "shift":
-            disp = jnp.arange(cap, dtype=INDEX_DTYPE) - uniq_pos
-            rc_c, val_c = _shift_compact(is_tail, disp, [rc, run_val], disp_bits)
+        if compact == "scan":
+            from .scancompact import SENTINEL_U32, runsum_compact_scan
+
+            key_u = jnp.where(
+                valid, rc.astype(jnp.uint32), jnp.uint32(SENTINEL_U32)
+            )  # invalids already sort to the tail; remap preserves order
+            rc_ci, val_c, tails = runsum_compact_scan(
+                key_u, val, w=cap, out_cap=out_cap,
+                max_run=max_run or cap,
+            )
+            uniq_pos = tails - 1
+            n_uniq = tails[-1]
+            col_c = rc_ci & ((1 << bits) - 1)
         else:
-            key = jnp.where(is_tail, uniq_pos, cap).astype(INDEX_DTYPE)
-            _, rc_c, val_c = jax.lax.sort((key, rc, run_val), num_keys=1)
-        n_uniq = jnp.sum(is_tail.astype(INDEX_DTYPE))
-        col_c = rc_c & ((1 << bits) - 1)
+            run_val = _segmented_runsum(rc, rc, val, max_run)
+            next_rc = jnp.concatenate(
+                [rc[1:], jnp.full((1,), -1, rc.dtype)]
+            )
+            is_tail = valid & (rc != next_rc)
+            uniq_pos = jnp.cumsum(is_tail.astype(INDEX_DTYPE)) - 1
+            if compact == "shift":
+                disp = jnp.arange(cap, dtype=INDEX_DTYPE) - uniq_pos
+                rc_c, val_c = _shift_compact(
+                    is_tail, disp, [rc, run_val], disp_bits
+                )
+            else:
+                key = jnp.where(is_tail, uniq_pos, cap).astype(INDEX_DTYPE)
+                _, rc_c, val_c = jax.lax.sort(
+                    (key, rc, run_val), num_keys=1
+                )
+            n_uniq = jnp.sum(is_tail.astype(INDEX_DTYPE))
+            col_c = rc_c & ((1 << bits) - 1)
     else:
         # stage 3: sort by (row, col); sentinel rows (m) sink to tail
         row, col, val = jax.lax.sort((row, col, val), num_keys=2)
@@ -965,8 +1009,9 @@ def merge_products(row, col, val, m: int, n: int, out_cap: int,
         row_sorted = row
         uniq_pos = jnp.cumsum(is_tail.astype(INDEX_DTYPE)) - 1
         # rowptr is derived from the pre-compaction stream (below), so the
-        # compaction does not carry the row array
-        if compact == "shift":
+        # compaction does not carry the row array. (The scan tail needs a
+        # single packed key; the 2-key stream falls back to shift.)
+        if compact in ("shift", "scan"):
             disp = jnp.arange(cap, dtype=INDEX_DTYPE) - uniq_pos
             col_c, val_c = _shift_compact(is_tail, disp, [col, run_val], disp_bits)
         else:
@@ -1052,5 +1097,5 @@ def spgemm_chunked(a: CSR, b: CSR, plan: ChunkedPlan) -> CSR:
     return merge_products(
         row, col, val, m, n, plan.out_cap, plan.max_run, a.vals.dtype,
         prodstart=prodstart, pack_u32=plan.pack_u32,
-        disp_bits=plan.disp_bits,
+        disp_bits=plan.disp_bits, compact=plan.tail_mode,
     )

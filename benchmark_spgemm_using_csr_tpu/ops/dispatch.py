@@ -297,12 +297,14 @@ def estimate_grouped_s(a: CSR, b: CSR | None = None) -> float:
         return float("inf")
     _, _, b_row_lens, _ = _mstats(b)
     lens = b_row_lens[cols]
-    abpad8 = int((-(-b_row_lens // 8) * 8).sum())
-    slots_a = int((-(-lens // 8)).sum()) * 8
-    cost = min(
-        estimate_mode_ns(m, nnz, products, products, 0),
-        estimate_mode_ns(m, nnz, slots_a, slots_a // 8, abpad8),
-    )
+    cost = estimate_mode_ns(m, nnz, products, products, 0)
+    for cand in (2, 4, 8):
+        abpad_c = int((-(-b_row_lens // cand) * cand).sum())
+        slots_c = int((-(-lens // cand)).sum()) * cand
+        cost = min(
+            cost,
+            estimate_mode_ns(m, nnz, slots_c, slots_c // cand, abpad_c),
+        )
     if dtype == "float64":
         # double-word lane: values ride two int32 lanes (3-operand sort,
         # doubled value traffic, emulated-f64 multiply/run-sum)

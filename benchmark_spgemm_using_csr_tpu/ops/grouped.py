@@ -175,14 +175,22 @@ def make_grouped_plan(
     if cbits > 31:
         return None
     # mode selection: narrow k=1 (1 product per descriptor, no padding)
-    # vs al=8 aligned table (8 pairs per descriptor, ceil(len/8) padding),
-    # by the shared calibrated cost (estimate_mode_ns docstring)
+    # vs al-aligned tables (al pairs per descriptor, ceil(len/al) padding)
+    # over al in {2, 4, 8} — tiny-row matrices (webbase: mean B row 4.4)
+    # waste ~2x slots at al=8 but only ~1.3x at al=2 while still halving
+    # the descriptor count, and expansion descriptors were 129 of
+    # webbase's 311 ms (profile 2026-08-20). Shared calibrated cost
+    # (estimate_mode_ns docstring) picks per matrix.
     if al is None:
-        abpad8 = int((-(-b_len // 8) * 8).sum())
-        slots_a = int((-(-lens // 8)).sum()) * 8
-        cost_n = estimate_mode_ns(m, nnz_a, total, total, 0)
-        cost_a = estimate_mode_ns(m, nnz_a, slots_a, slots_a // 8, abpad8)
-        al = 8 if cost_a < cost_n else 0
+        al, best = 0, estimate_mode_ns(m, nnz_a, total, total, 0)
+        for cand in (2, 4, 8):
+            slots_c = int((-(-lens // cand)).sum()) * cand
+            abpad_c = int((-(-b_len // cand) * cand).sum())
+            cost_c = estimate_mode_ns(
+                m, nnz_a, slots_c, slots_c // cand, abpad_c
+            )
+            if cost_c < best:
+                al, best = cand, cost_c
     lanes = al if al else 1
 
     # per-entry chunk counts and per-row chunk sums
@@ -383,19 +391,36 @@ def _spgemm_grouped(
     # f64 double-word lane (VERDICT r2 #7): values ride TWO packed int32
     # lanes end-to-end (gather tables, propagation, sort operands) and are
     # reconstituted to f64 only for the product multiply and run-sum — the
-    # descriptor/sort machinery never widens
+    # descriptor/sort machinery never widens. Representation: hi/lo f32
+    # SPLIT (48 mantissa bits, ~2e-15 relative — inside the x64 oracle's
+    # rtol 1e-12), NOT a raw f64<->2xi32 bitcast: XLA's TPU X64 rewriter
+    # has no lowering for wide bitcast-convert ("u64[..,2] bitcast-convert
+    # ... rewriting is not implemented", verified on-chip 2026-08-20).
     dd = a.vals.dtype == jnp.float64
     vdt = jnp.float64 if dd else F32
     vw = 2 if dd else 1  # value int32 lanes
 
     def _v_bits(x):  # (…,) vdt -> (…, vw) int32
-        bits = jax.lax.bitcast_convert_type(x.astype(vdt), jnp.int32)
-        return bits if dd else bits[..., None]
+        if not dd:
+            return jax.lax.bitcast_convert_type(
+                x.astype(F32), jnp.int32
+            )[..., None]
+        hi = x.astype(jnp.float32)
+        lo = (x - hi.astype(jnp.float64)).astype(jnp.float32)
+        return jnp.stack(
+            [
+                jax.lax.bitcast_convert_type(hi, jnp.int32),
+                jax.lax.bitcast_convert_type(lo, jnp.int32),
+            ],
+            axis=-1,
+        )
 
     def _v_from(bits):  # (…, vw) int32 -> (…,) vdt
-        return jax.lax.bitcast_convert_type(
-            bits if dd else bits[..., 0], vdt
-        )
+        if not dd:
+            return jax.lax.bitcast_convert_type(bits[..., 0], F32)
+        hi = jax.lax.bitcast_convert_type(bits[..., 0], jnp.float32)
+        lo = jax.lax.bitcast_convert_type(bits[..., 1], jnp.float32)
+        return hi.astype(jnp.float64) + lo.astype(jnp.float64)
 
     # ---- per-entry chunk metadata -> group-strided slot destinations ----
     a_rows = a.row_ids()
@@ -547,17 +572,16 @@ def _spgemm_grouped(
     # ---- ONE 2D sort: every group independently, log2(W)^2/2 depth ------
     if dd:
         # f64 values ride as two int32 sort operands (the sort unit never
-        # sees a wide dtype); reconstituted after
-        vb = jax.lax.bitcast_convert_type(valm, jnp.int32)
+        # sees a wide dtype); reconstituted after via the hi/lo split
+        vb = _v_bits(valm)
         hi2 = vb[..., 0].reshape(plan.g_cap, W)
         lo2 = vb[..., 1].reshape(plan.g_cap, W)
         okey, ohi, olo = jax.lax.sort(
             (key2, hi2, lo2), dimension=1, num_keys=1
         )
         okey = okey.reshape(-1)
-        oval = jax.lax.bitcast_convert_type(
-            jnp.stack([ohi.reshape(-1), olo.reshape(-1)], axis=-1),
-            jnp.float64,
+        oval = _v_from(
+            jnp.stack([ohi.reshape(-1), olo.reshape(-1)], axis=-1)
         )
     else:
         val2 = valm.reshape(plan.g_cap, W)

@@ -104,6 +104,37 @@ def main():
                  "efficiency": eff, "backend": devs[0].platform,
                  "caveat": "virtual CPU mesh shares one machine"},
             )
+            t_last = t
+
+        # --- per-shard parity (VERDICT r2 next #5): exec time of the dist
+        # local kernel per shard vs the single-chip tuned path on an
+        # identical shard-sized problem. On the shared-CPU mesh the N-dev
+        # exec wall is ~the SUM of shard works (one core), so per-shard
+        # time is t(N)/N; target ratio <= 1.5x.
+        n = sizes[-1]
+        m_loc = -(-a.m // n)
+        import scipy.sparse as sp
+
+        a_sp = a.to_scipy().tocsr()
+        sub = CSR.from_scipy(sp.csr_matrix(a_sp[:m_loc]))
+        from benchmark_spgemm_using_csr_tpu.ops.chunked import (
+            make_chunked_plan, spgemm_chunked,
+        )
+
+        lp1 = make_chunked_plan(sub, a)
+        run1 = jax.jit(lambda s_, a_: spgemm_chunked(s_, a_, lp1))
+        t_local = timeit(lambda: run1(sub, a))
+        parity = (t_last / n) / t_local
+        print(f"  per-shard parity N={n}: dist {t_last/n*1e3:.2f} ms/shard"
+              f" vs single-chip {t_local*1e3:.2f} ms -> {parity:.2f}x")
+        write_result(
+            "results.jsonl",
+            {"config": f"scaling/{schedule}", "mode": "per-shard-parity",
+             "n_dev": n, "dist_per_shard_s": t_last / n,
+             "single_shard_s": t_local, "parity_x": parity,
+             "backend": devs[0].platform,
+             "caveat": "virtual CPU mesh shares one machine"},
+        )
 
 
 if __name__ == "__main__":

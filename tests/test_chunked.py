@@ -176,3 +176,61 @@ def test_disp_bits_zero_duplicates_minimal_passes():
     assert plan.disp_bits == 1
     c = spgemm_chunked(a, a, plan)
     assert_csr_equal(c, spgemm_reference(a, a))
+
+
+def test_chunked_scan_tail_mode():
+    """ChunkedPlan.tail_mode='scan' must match shift compaction exactly on
+    the packed-key branches (int31 + u32) and fall back safely unpacked."""
+    import dataclasses
+
+    from benchmark_spgemm_using_csr_tpu.ops.chunked import (
+        make_chunked_plan,
+        spgemm_chunked,
+    )
+    from benchmark_spgemm_using_csr_tpu.utils.oracle import (
+        assert_csr_equal,
+        spgemm_reference,
+    )
+
+    for a_sp in (
+        generators.erdos_renyi(500, 500, 7.0, seed=2),     # int31 pack
+        generators.power_law(400, 400, alpha=1.9, max_deg=96, seed=3),
+    ):
+        a = CSR.from_scipy(a_sp)
+        plan = make_chunked_plan(a, a)
+        plan_s = dataclasses.replace(plan, tail_mode="scan")
+        c = spgemm_chunked(a, a, plan_s)
+        assert_csr_equal(c, spgemm_reference(a, a), rtol=1e-4, atol=1e-5)
+
+
+def test_chunked_scan_tail_u32_branch():
+    """Force the uint32 single-key branch (m, n miss int31 but fit 32 bits)
+    under the scan tail."""
+    import dataclasses
+
+    import scipy.sparse as sp
+
+    from benchmark_spgemm_using_csr_tpu.ops.chunked import (
+        make_chunked_plan,
+        spgemm_chunked,
+    )
+    from benchmark_spgemm_using_csr_tpu.utils.oracle import (
+        assert_csr_equal,
+        spgemm_reference,
+    )
+
+    m = 1 << 16  # 65536 x 65536: rbits+cbits = 32 -> pack_u32
+    rng = np.random.default_rng(0)
+    rows = rng.integers(0, m, 4000)
+    cols = rng.integers(0, m, 4000)
+    a_sp = sp.coo_matrix(
+        (rng.standard_normal(4000).astype(np.float32), (rows, cols)),
+        shape=(m, m),
+    ).tocsr()
+    a_sp.sum_duplicates()
+    a = CSR.from_scipy(a_sp)
+    plan = make_chunked_plan(a, a)
+    assert plan.pack_u32, "expected the u32 branch"
+    plan_s = dataclasses.replace(plan, tail_mode="scan")
+    c = spgemm_chunked(a, a, plan_s)
+    assert_csr_equal(c, spgemm_reference(a, a), rtol=1e-4, atol=1e-5)

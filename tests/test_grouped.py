@@ -140,3 +140,16 @@ def test_grouped_scan_tail_mode():
         assert sched is not None and sched.plan.tail_mode == "scan"
         c = spgemm_grouped(a, a, sched)
         assert_csr_equal(c, spgemm_reference(a, a), rtol=1e-4, atol=1e-5)
+
+
+def test_grouped_al_2_and_4():
+    """Intermediate table alignments (al sweep widened r3): the aligned
+    machinery must be correct at any al, not just 8."""
+    a = CSR.from_scipy(generators.power_law(400, 400, alpha=2.0,
+                                            max_deg=64, seed=7))
+    want = spgemm_reference(a, a)
+    for al in (2, 4):
+        sched = make_grouped_plan(a, a, al=al)
+        assert sched is not None and sched.plan.al == al
+        c = spgemm_grouped(a, a, sched)
+        assert_csr_equal(c, want, rtol=1e-4, atol=1e-5)
