@@ -625,6 +625,13 @@ def main() -> None:
     gmean_r1 = float(np.exp(np.mean(
         [np.log(per_matrix[k]["gflops"]) for k in r1_names if k in per_matrix]
     )))
+    # round-2 12-matrix basis (before the FEM family joined in round 3):
+    # cross-round comparability of the dispatcher-scored gmean
+    r2_names = r1_names + ["webbase_1m", "econ_206k", "mc2depi_524k",
+                           "scircuit_256k", "dense_rows_8k"]
+    gmean_r2 = float(np.exp(np.mean(
+        [np.log(per_matrix[k]["gflops"]) for k in r2_names if k in per_matrix]
+    )))
     print(
         json.dumps(
             {
@@ -640,11 +647,13 @@ def main() -> None:
                         max((v.get("spread", 0.0)
                              for v in per_matrix.values()), default=0.0), 4
                     ),
-                    # round-1 7-matrix suite gmean, for cross-round
-                    # continuity (the round-2 suite added 5 harder
-                    # reference-scale members, so the headline gmean is not
-                    # comparable to BENCH_r01 on its own)
+                    # earlier-round suite-basis gmeans for cross-round
+                    # continuity (each round widened the suite — r2 added 5
+                    # reference-scale members, r3 added the 3-member FEM
+                    # family — so headline gmeans across rounds are only
+                    # comparable on a fixed basis)
                     "gmean_r1suite": round(gmean_r1, 4),
+                    "gmean_r2suite": round(gmean_r2, 4),
                 },
             }
         )

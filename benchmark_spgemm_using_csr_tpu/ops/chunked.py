@@ -350,6 +350,10 @@ def make_chunked_plan(
         abpad_cap=abpad_cap,
         al_min=al_min,
         nchunks_cap=pad_gentle(max(nchunks, 1)) if (al and al_min) else 0,
+        # fused block-scan tail (ops/scancompact): A/B'd 2026-08-20 on
+        # powerlaw (48.2 -> 45.5 ms); packed-key branches only — the
+        # unpacked 2-key stream falls back to shift inside merge_products
+        tail_mode="scan",
     )
 
 

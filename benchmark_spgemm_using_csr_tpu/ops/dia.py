@@ -39,27 +39,22 @@ def dia_spgemm(a: DIA, b: DIA, fused: bool | None = None) -> DIA:
 
     fused: route through the Pallas multi-plane kernel
     (ops/dia_pallas.dia_spgemm_fused) that keeps every plane VMEM-resident
-    per column block — each plane crosses HBM once instead of once per
-    pairing (VERDICT r2 #6). Default auto: TPU backend, f32, shift span
-    fits the block. The XLA gather form remains the fallback and the CPU
-    test oracle."""
+    per column block. Measured on-chip 2026-08-20: the kernel only beats
+    the XLA gather form on LARGE-n few-diagonal matrices (mc2depi_524k
+    232 -> 197 us); it loses at small n (poisson2d_256: kernel overheads
+    dominate a ~25-85 us body) and the Mosaic compiler crashes outright
+    at nd >= ~25 with bj >= 4096 (stencil27/banded — apparently the nd^2
+    live shifted windows blow VMEM inside the compiler). Default: OFF —
+    the XLA gather form stays the production path (110-130 GF on the
+    suite's diagonal members), and the roofline prices its irreducible
+    per-term re-read traffic honestly (utils/roofline.dia_stage_models).
+    """
     m, k = a.shape
     k2, n = b.shape
     if k != k2:
         raise ValueError(f"inner dims mismatch: {a.shape} @ {b.shape}")
     if fused is None:
-        bj = 4096
-        span = max([0] + [d for d in b.offsets if d > 0]) + max(
-            [0] + [-d for d in b.offsets if d < 0]
-        )
-        fused = (
-            jax.default_backend() == "tpu"
-            and jnp.result_type(a.dtype, b.dtype) == jnp.float32
-            and span <= bj
-            and a.ndiag * b.ndiag <= 8192
-            and a.ndiag > 0
-            and b.ndiag > 0
-        )
+        fused = False
     if fused:
         from .dia_pallas import dia_spgemm_fused
 

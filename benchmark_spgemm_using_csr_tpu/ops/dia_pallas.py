@@ -105,15 +105,31 @@ def dia_spgemm_fused(
 
 
 def _dia_kernel(a0_ref, a1_ref, b_ref, out_ref, *, terms, off_c, pad_l, bj):
-    """One column block: all planes VMEM-resident; unrolled shifted FMAs."""
+    """One column block: all planes VMEM-resident.
+
+    Sliced ONCE per B diagonal (cross-lane rotations are the expensive
+    Mosaic op — and a per-TERM unroll of nd_a*nd_b slices crashed the
+    compiler at 729 terms): each d2's shifted (nd_a, bj) window multiplies
+    B's plane broadcast, then rows accumulate into their static output
+    planes (sublane-aligned row reads, no further rotations)."""
     aw = jnp.concatenate([a0_ref[:], a1_ref[:]], axis=1)  # (nd_a, 2*bj)
     b_blk = b_ref[:]
-    for ci, dc in enumerate(off_c):
-        acc = None
-        for s1, s2, d2 in terms[dc]:
-            t0 = pad_l - d2  # static in [0, span] <= bj
-            prod = jax.lax.slice(
-                aw, (s1, t0), (s1 + 1, t0 + bj)
-            )[0] * b_blk[s2]
-            acc = prod if acc is None else acc + prod
-        out_ref[ci, :] = acc
+    slot = {dc: i for i, dc in enumerate(off_c)}
+    acc = [None] * len(off_c)
+    # regroup the static term table by d2
+    by_d2 = {}
+    for dc, lst in terms.items():
+        for s1, s2, d2 in lst:
+            by_d2.setdefault((s2, d2), []).append((s1, dc))
+    for (s2, d2), pairs in sorted(by_d2.items()):
+        t0 = pad_l - d2  # static in [0, span] <= bj
+        a_sh = jax.lax.slice(
+            aw, (0, t0), (aw.shape[0], t0 + bj)
+        )  # ONE rotation per d2
+        contrib = a_sh * b_blk[s2][None, :]
+        for s1, dc in pairs:
+            ci = slot[dc]
+            row = contrib[s1]
+            acc[ci] = row if acc[ci] is None else acc[ci] + row
+    for ci in range(len(off_c)):
+        out_ref[ci, :] = acc[ci]

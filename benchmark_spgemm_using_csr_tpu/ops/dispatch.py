@@ -301,6 +301,9 @@ def estimate_grouped_s(a: CSR, b: CSR | None = None) -> float:
     for cand in (2, 4, 8):
         abpad_c = int((-(-b_row_lens // cand) * cand).sum())
         slots_c = int((-(-lens // cand)).sum()) * cand
+        # mirror make_grouped_plan's table-build memory guard
+        if abpad_c // cand > (512 << 10 if cand < 8 else 2 << 20):
+            continue
         cost = min(
             cost,
             estimate_mode_ns(m, nnz, slots_c, slots_c // cand, abpad_c),

@@ -81,8 +81,11 @@ class GroupedPlan:
     scatter_set: bool  # collision-free scatter-SET propagation
     # post-sort tail implementation: 'shift' = global runsum + log(holes)
     # shift compaction; 'scan' = fused block-scan runsum+compaction
-    # (ops/scancompact — one stream pass instead of ~disp_bits passes)
-    tail_mode: str = "shift"
+    # (ops/scancompact — one stream pass instead of ~disp_bits passes).
+    # On-chip A/B 2026-08-20 (scripts/ab_tailmode.py): scan wins every
+    # grouped suite matrix — scircuit 356->250 ms, circuit 62.6->48.7,
+    # webbase 332->297, econ 98->90 — so it is the default.
+    tail_mode: str = "scan"
 
     @property
     def s_cap(self) -> int:  # chunk-slot stream length
@@ -107,11 +110,17 @@ def estimate_mode_ns(
     gather + 2 propagation scatters + spread), per-row ~20 ns (rank
     scatter, sorted-off gather, rowptr). Fit error <= 10% on: powerlaw
     g0 42.2 / g8 45.8, webbase g0 303.6 / g8 466.4, scircuit g0 488.1 /
-    g8 322.2, circuit g8 71.0, econ g0 101.4 / g8 92.9, er g8 72.8 ms."""
+    g8 322.2, circuit g8 71.0, econ g0 101.4 / g8 92.9, er g8 72.8 ms.
+
+    2026-08-20 scan-tail recalibration (the fused block-scan tail cut the
+    per-slot cost): slot lb^2 coefficient 0.011 -> 0.009. Residuals on the
+    fresh points (scircuit 250.5, webbase 297, econ 90, circuit 48.7 ms)
+    are +5/-11/-26/+40% — the structure can't represent circuit's
+    unusually cheap stream, but dispatch only consumes the ordering."""
     w_est = int(np.clip(slots / 64, 1 << 13, 1 << 17))
     lb = max(int(w_est - 1).bit_length(), 1)
     return (
-        slots * (2.0 + 0.011 * lb * lb)
+        slots * (2.0 + 0.009 * lb * lb)
         + (desc + abpad) * 5.5
         + nnz_a * 10.0
         + m * 20.0
@@ -136,7 +145,7 @@ def make_grouped_plan(
     a: CSR, b: CSR, al: int | None = None, target_slots: int | None = None,
     fixed: GroupedPlan | None = None,
     force_scatter_set: bool | None = None,
-    tail_mode: str = "shift",
+    tail_mode: str = "scan",
 ) -> GroupedSchedule | None:
     """Host stage-2: chunk quantization -> greedy row->group packing.
 
@@ -186,6 +195,14 @@ def make_grouped_plan(
         for cand in (2, 4, 8):
             slots_c = int((-(-lens // cand)).sum()) * cand
             abpad_c = int((-(-b_len // cand) * cand).sum())
+            # table-build guard: the (nrows_tbl, al, 1+vw) gather output
+            # pads its trailing dims to (8, 128) tiles when XLA fails to
+            # fuse it — measured OOM at al=2 with 11.5M table rows (11 GB,
+            # 64x expansion). al=8 has fused reliably up to ~1M rows
+            # (webbase r2); keep small-al tables under 512k rows.
+            nrows_c = abpad_c // cand
+            if nrows_c > (512 << 10 if cand < 8 else 2 << 20):
+                continue
             cost_c = estimate_mode_ns(
                 m, nnz_a, slots_c, slots_c // cand, abpad_c
             )

@@ -115,7 +115,7 @@ def bench_delta_stats(
     flops: int = 0,
     runs: int = 3,
     t_target: float = 0.15,
-    dispatch_floor: float = 0.026,
+    dispatch_floor: float = 0.052,
     slow_threshold: float = 0.015,
 ) -> DeltaResult:
     """Per-iteration device seconds of ``kfac(k)`` — a factory returning a
@@ -132,15 +132,31 @@ def bench_delta_stats(
     per run — tunnel trap); per-run pairwise deltas give ``runs``
     independent estimates, and the reported figure is their MEDIAN with
     (max-min)/median spread. Reusing the two executables costs no extra
-    compiles over the single-shot r2 harness."""
+    compiles over the single-shot r2 harness.
+
+    dispatch_floor is the FULL per-dispatch fixed cost: ~26 ms axon round
+    trip PLUS the _force value fetch's second trip (~52 ms total, measured
+    2026-08-20 — underestimating it inflated t_est ~20x for sub-ms bodies,
+    sized K2 too small, and the jitter-drowned delta silently fell back to
+    wall/k1: poisson2d read 0.76 GF instead of ~130). If the delta still
+    collapses (non-positive or >50% spread), K2 escalates 8x up to 4096
+    before giving up."""
     import statistics
 
     r1 = bench(kfac(k1), name=name, warmup=1, runs=runs,
                flops=flops * k1, vary=vary)
     t_est = max((r1.mean_s - dispatch_floor) / k1, 2e-5)
-    k2 = 0
-    if t_est < slow_threshold:
-        k2 = int(min(4096, max(4 * k1, round(t_target / t_est))))
+    if t_est >= slow_threshold:
+        # slow bodies: wall/k1 with the fixed dispatch+fetch cost removed
+        # (leaving it in biased a 48 ms body +13% at k1=8)
+        samples = [max(t - dispatch_floor, 0.0) / k1 for t in r1.times]
+        med = statistics.median(samples)
+        spread = (max(samples) - min(samples)) / med if med else 0.0
+        return DeltaResult(med, 0, spread, tuple(samples))
+    k2 = int(min(4096, max(4 * k1, round(t_target / t_est))))
+    positive = []
+    med = spread = 0.0
+    while True:
         r2 = bench(kfac(k2), name=f"{name}_k{k2}", warmup=1, runs=runs,
                    flops=flops * k2, vary=vary)
         samples = [
@@ -148,16 +164,19 @@ def bench_delta_stats(
             for t1, t2 in zip(r1.times, r2.times)
         ]
         positive = [s for s in samples if s > 0]
-        if positive:
-            med = statistics.median(positive)
-            spread = (max(positive) - min(positive)) / med
+        med = statistics.median(positive) if positive else 0.0
+        spread = (
+            (max(positive) - min(positive)) / med if positive else 0.0
+        )
+        if positive and (spread <= 0.5 or k2 >= 4096):
             return DeltaResult(med, k2, spread, tuple(samples))
-        # delta collapsed under jitter: fall back to the k1 quotient
-        k2 = 0
+        if k2 >= 4096:
+            break
+        k2 = int(min(4096, k2 * 8))  # delta drowned in jitter: escalate
     samples = [t / k1 for t in r1.times]
     med = statistics.median(samples)
     spread = (max(samples) - min(samples)) / med if med else 0.0
-    return DeltaResult(med, k2, spread, tuple(samples))
+    return DeltaResult(med, 0, spread, tuple(samples))
 
 
 def bench_delta(
