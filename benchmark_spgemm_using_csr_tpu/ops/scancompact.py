@@ -149,12 +149,18 @@ def runsum_compact_scan(
             tails,
         )
 
-    out_col0 = jnp.zeros(out_cap + b, jnp.int32)
-    out_val0 = jnp.zeros(out_cap + b, oval.dtype)
+    # carry inits derive from the inputs (x * 0 terms) so that under
+    # shard_map they inherit the inputs' varying manual axes — plain
+    # constants are unvarying and lax.scan rejects the carry type
+    # mismatch once the body's outputs become varying (hit by the
+    # distributed grouped kernel, dryrun 2026-08-20)
+    zero_i = (okey[0] ^ okey[0]).astype(jnp.int32)
+    zero_v = oval[0] * jnp.zeros((), oval.dtype)
+    out_col0 = jnp.zeros(out_cap + b, jnp.int32) + zero_i
+    out_val0 = jnp.zeros(out_cap + b, oval.dtype) + zero_v
     (out_col, out_val, _, _, _), tails = jax.lax.scan(
         body,
-        (out_col0, out_val0, jnp.zeros((), jnp.int32),
-         sent, jnp.zeros((), oval.dtype)),
+        (out_col0, out_val0, zero_i, sent ^ okey[0] ^ okey[0], zero_v),
         (k2, v2, firsts_next, blk_ids),
     )
     return (

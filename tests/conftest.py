@@ -30,6 +30,12 @@ def eight_devices():
     return devs[:8]
 
 
+def pytest_sessionstart(session):
+    import time
+
+    session._suite_t0 = time.time()
+
+
 def pytest_sessionfinish(session, exitstatus):
     """Append machine-readable suite health to results.jsonl on FULL-suite
     runs (VERDICT r2 weak #8 / next #10): the judge audits pass counts
@@ -61,7 +67,9 @@ def pytest_sessionfinish(session, exitstatus):
         os.path.join(repo, "results.jsonl"),
         {
             "metric": "pytest_suite",
-            "wall_s": round(time.time() - reporter._sessionstarttime, 1),
+            "wall_s": round(
+                time.time() - getattr(session, "_suite_t0", time.time()), 1
+            ),
             "rc": int(exitstatus),
             **counts,
         },
