@@ -52,7 +52,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--method",
         default="auto",
-        choices=["auto", "chunked", "bsr", "tiled", "fused", "esc", "binned", "hash"],
+        choices=["auto", "chunked", "grouped", "tilepack", "bsr", "dia",
+                 "dense", "tiled", "fused", "esc", "binned", "hash"],
     )
     p.add_argument("--runs", type=int, default=5)
     p.add_argument("--warmup", type=int, default=2)
