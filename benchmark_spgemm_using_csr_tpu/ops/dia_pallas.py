@@ -19,9 +19,13 @@ block, so each plane crosses HBM exactly once:
   the resident B planes (the shifts cost Mosaic lane rotations — VPU work,
   not HBM).
 
-Dispatch: ops/dia.dia_spgemm routes here on TPU for f32 when the term count
-fits the unroll budget; the XLA form remains for CPU tests (and is the
-interpret-mode oracle in tests/test_dia_pallas.py).
+Dispatch: OPT-IN ONLY — ops/dia.dia_spgemm takes ``fused=True`` to route
+here, and hard-defaults fused=False: measured on-chip the kernel only wins
+on large-n few-diagonal shapes (mc2depi 232→197 us) and loses or crashes
+the Mosaic compile helper elsewhere (see dia.py's default-OFF verdict).
+The XLA gather form is the production path; this kernel is kept for the
+mc2depi-like regime and as the interpret-mode oracle target
+(tests/test_dia_pallas.py).
 """
 from __future__ import annotations
 
@@ -77,8 +81,11 @@ def dia_spgemm_fused(
     nd_a, nd_b, nd_c = len(a.offsets), len(b.offsets), len(off_c)
 
     # A padded so every shifted block read is in bounds: left pad_l, right
-    # up to (nb + 1) * bj total width (the j+1 window of the last block)
-    a_w = (nb + 1) * bj
+    # up to (nb + 1) * bj total width (the j+1 window of the last block).
+    # Rectangular inputs with k + pad_l beyond that window would overflow
+    # the update below — widen to the next bj multiple (blocks past j+1 are
+    # simply never read).
+    a_w = max((nb + 1) * bj, -(-(k + pad_l) // bj) * bj)
     a_pad = jnp.zeros((nd_a, a_w), out_dtype)
     a_pad = jax.lax.dynamic_update_slice(
         a_pad, a.data.astype(out_dtype), (0, pad_l)

@@ -74,6 +74,9 @@ def _mstats(x: CSR, _cache={}):
     key = (id(x.rowptr), id(x.colidx))
     hit = _cache.get(key)
     if hit is not None:
+        # true LRU: refresh recency on hit (plain pop-front is FIFO and an
+        # AMG hierarchy cycling >8 matrices would evict its hot entries)
+        _cache[key] = _cache.pop(key)
         return hit[0]
     rowptr = host_view(x.rowptr)
     nnz = int(rowptr[-1])

@@ -49,6 +49,11 @@ class StageModel:
     flops: float
     descriptors: float = 0.0  # random gather/scatter descriptors issued
     tile_lanes: float = 0.0  # Pallas tile-sort lanes processed
+    # informational only (NOT used in sol_time_s): the read-once ideal
+    # traffic when bytes_moved is priced at an algorithm-form floor instead
+    # (currently only DIA — see dia_stage_models); keeps cross-round sol
+    # comparisons honest by surfacing both bases in the report.
+    ideal_bytes: float = 0.0
 
     def sol_time_s(self, chip: ChipSpec) -> float:
         """Speed-of-light time: max of bandwidth, compute, descriptor-rate
@@ -321,6 +326,10 @@ def dia_stage_models(
             "plane_fma",
             bytes_moved=(2 * nd_a * nd_a + nd_c) * n * itemsize,
             flops=2.0 * nd_a * nd_a * n,
+            # the read-each-plane-once ideal, reported alongside so round-2
+            # (ideal-based) and round-3+ (gather-form) sol fractions aren't
+            # silently compared on different bases (ADVICE r3)
+            ideal_bytes=(2 * nd_a + nd_c) * n * itemsize,
         ),
     }
 
@@ -399,6 +408,12 @@ def roofline_report(
             "flops": sm.flops,
             "sol_time_s": sol,
         }
+        if sm.ideal_bytes:
+            entry["ideal_bytes"] = sm.ideal_bytes
+            entry["ideal_sol_time_s"] = max(
+                sm.ideal_bytes / (chip.hbm_gbps * 1e9),
+                sm.flops / (chip.peak_f32_tflops * 1e12),
+            )
         if stage_times_s and name in stage_times_s:
             t = stage_times_s[name]
             entry["time_s"] = t

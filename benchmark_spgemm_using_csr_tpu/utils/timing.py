@@ -173,7 +173,10 @@ def bench_delta_stats(
         if k2 >= 4096:
             break
         k2 = int(min(4096, k2 * 8))  # delta drowned in jitter: escalate
-    samples = [t / k1 for t in r1.times]
+    # last-resort fallback (delta never stabilized at k2=4096): same
+    # dispatch-floor subtraction as the slow-body branch, else the ~52 ms
+    # fixed cost is charged to the body (~6.5 ms/iter inflation at k1=8)
+    samples = [max(t - dispatch_floor, 0.0) / k1 for t in r1.times]
     med = statistics.median(samples)
     spread = (max(samples) - min(samples)) / med if med else 0.0
     return DeltaResult(med, 0, spread, tuple(samples))

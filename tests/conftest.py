@@ -30,6 +30,12 @@ def eight_devices():
     return devs[:8]
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running test (x64 subprocess oracles etc.)"
+    )
+
+
 def pytest_sessionstart(session):
     import time
 
