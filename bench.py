@@ -102,6 +102,11 @@ def main() -> None:
         "fem_17k": generators.SUITE["fem_17k"],
         "fem_32k": generators.SUITE["fem_32k"],
         "pdb_8k": generators.SUITE["pdb_8k"],
+        # irregular-mesh FEM (round 4): the regular fem members ride DIA
+        # (~99 distinct diagonals, 64-122x measured — scripts/ab_fem_dia.py)
+        # so this node-permuted variant keeps the unstructured-mesh mid-row
+        # ESC regime represented in the suite
+        "femirr_17k": generators.SUITE["femirr_17k"],
     }
     # BENCH_ONLY=name1,name2 scopes a debug run to named points (suite
     # members, 'er_small_f64', 'rap_poisson2d_256', '*_ooc'); the headline

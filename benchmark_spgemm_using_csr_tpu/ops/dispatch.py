@@ -168,12 +168,22 @@ def estimate_dia_s(a: CSR, b: CSR | None = None) -> float:
     # nd_a * nd_b is also the number of slice-FMA ops in the jitted graph
     # (dia_spgemm unrolls terms statically): cap it so auto dispatch never
     # builds a minutes-to-compile XLA program (each op also costs
-    # DIA_OP_OVERHEAD_S at runtime)
+    # DIA_OP_OVERHEAD_S at runtime). Round-4 recalibration: 9801 terms
+    # compile in ~70 s ONE-TIME (persistent cache) and the slot model
+    # stays exact — pdb_8k measured 1.44 ms vs 1.45 modeled, a 122x win
+    # over grouped (scripts/ab_fem_dia.py), so the flat 8192 cap cost the
+    # whole FEM-regular band. The cap now scales with the work at stake:
+    # a >8192-term compile (~1-2 min) is only accepted when the product
+    # stream is large enough (>= 4M products ~ tens-of-ms alternatives)
+    # that the per-call win amortizes it; tiny products (e.g. AMG's
+    # tall-skinny P with O(m) diagonals) keep the strict cap.
+    *_, products = _stats(a, b)
+    term_cap = 16384 if products >= (1 << 22) else 8192
     if (
         nd_a * nd_b * b.n * DIA_NS_PER_SLOT * 1e-9 > 10.0
         or nd_a > 4096
         or nd_b > 4096
-        or nd_a * nd_b > 8192
+        or nd_a * nd_b > term_cap
     ):
         return float("inf")
     n_off_c = len(np.unique(offs_a[:, None] + offs_b[None, :]))

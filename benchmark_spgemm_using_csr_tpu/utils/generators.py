@@ -173,6 +173,47 @@ def fem(
     return mat
 
 
+def fem_irregular(
+    k: int, dof: int = 3, fill: float = 0.7, dtype=np.float32, seed: int = 0
+) -> sp.csr_matrix:
+    """FEM matrix from an IRREGULAR mesh ordering: ``fem`` with the node ids
+    randomly permuted before dof expansion.
+
+    Real cant/consph come from unstructured meshes whose orderings spread
+    each row's ~60 nnz over an effectively arbitrary set of column offsets —
+    thousands of distinct diagonals, so neither DIA (term blow-up) nor BSR
+    (block occupancy collapses) can take them and the mid-row ESC kernels
+    carry the product. The regular ``fem`` generator turned out to have only
+    ~99 distinct scalar diagonals (27 stencil offsets x dof sub-diagonals),
+    which the DIA gather form exploits for a ~100x win (round 4 A/B,
+    scripts/ab_fem_dia.py) — a legitimate dispatch for THAT matrix, but it
+    vacates the irregular-FEM test regime. This generator restores it: the
+    permutation preserves the row-length distribution and product structure
+    exactly (C_perm = P @ C @ P^T) while destroying diagonal locality."""
+    base = fem(k, dof=1, fill=fill, dtype=dtype, seed=seed)
+    rng = np.random.default_rng(seed + 0x5EED)
+    nn = base.shape[0]
+    perm = rng.permutation(nn)
+    base = base[perm][:, perm].tocsr()
+    if dof == 1:
+        base.sort_indices()
+        return base.astype(dtype)
+    # dof-expand AFTER permuting node ids: dof x dof blocks stay dense
+    # (consph-like) but block positions are irregular
+    coo = base.tocoo()
+    di = np.arange(dof, dtype=np.int64)
+    r = coo.row.astype(np.int64)[:, None, None] * dof + di[None, :, None]
+    c = coo.col.astype(np.int64)[:, None, None] * dof + di[None, None, :]
+    r, c = np.broadcast_arrays(r, c)
+    r, c = r.reshape(-1).copy(), c.reshape(-1).copy()
+    v = rng.standard_normal(r.size).astype(dtype)
+    n = nn * dof
+    mat = sp.coo_matrix((v, (r, c)), shape=(n, n)).tocsr()
+    mat.sum_duplicates()
+    mat.sort_indices()
+    return mat
+
+
 def circuit(
     n: int, nnz_per_row: float = 3.0, n_hubs: int | None = None,
     hub_deg: int | None = None, dtype=np.float32, seed: int = 0,
@@ -259,4 +300,9 @@ SUITE = {
     "fem_32k": lambda: fem(22, dof=3, fill=0.7, seed=4),   # 31944 rows
     "pdb_8k": lambda: fem(14, dof=3, fill=0.9, seed=5),    # 8232 rows,
     #                      ^ denser blocks: ~73 nnz/row (pdb1HYS ~119)
+    # irregular-mesh FEM (round 4): same row-length band as fem_17k but
+    # with node ids permuted — thousands of distinct diagonals, so the
+    # mid-row ESC path carries it (the TRUE unstructured-mesh cant
+    # analogue now that the regular fem members ride DIA)
+    "femirr_17k": lambda: fem_irregular(18, dof=3, fill=0.7, seed=3),
 }

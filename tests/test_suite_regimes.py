@@ -14,6 +14,8 @@ CASES = {
     "stencil27": lambda: generators.stencil27(8),
     "circuit": lambda: generators.circuit(2048, seed=3),
     "dense_rows": lambda: generators.dense_rows(256, 256, nnz_per_row=32, seed=1),
+    "fem": lambda: generators.fem(6, dof=3, fill=0.7, seed=3),
+    "fem_irregular": lambda: generators.fem_irregular(6, dof=3, fill=0.7, seed=3),
 }
 
 
@@ -41,3 +43,28 @@ def test_profiles_match_regimes():
     assert lens.max() >= 256  # dense rail rows
     dr = generators.dense_rows(256, 256, nnz_per_row=32, seed=1)
     assert np.percentile(np.diff(dr.indptr), 10) >= 16  # uniformly long
+
+
+def test_fem_irregular_destroys_diagonal_structure():
+    """fem_irregular keeps fem's row-length band but has far too many
+    distinct diagonals for the DIA path (the regular fem's ~99-diagonal
+    structure routed it to DIA in round 4 — this variant must keep the
+    mid-row ESC regime covered)."""
+    reg = generators.fem(8, dof=3, fill=0.7, seed=3)
+    irr = generators.fem_irregular(8, dof=3, fill=0.7, seed=3)
+    assert reg.shape == irr.shape
+    # same nnz scale (permutation preserves the degree distribution)
+    assert 0.5 < irr.nnz / reg.nnz < 2.0
+
+    def ndiag(m):
+        coo = m.tocoo()
+        return len(np.unique(coo.col.astype(np.int64) - coo.row))
+
+    nd_reg, nd_irr = ndiag(reg), ndiag(irr)
+    assert nd_reg < 200  # the DIA-exploitable structure
+    assert nd_irr > 5 * nd_reg  # permutation destroyed it
+
+    from benchmark_spgemm_using_csr_tpu.ops import dispatch
+
+    a = CSR.from_scipy(generators.fem_irregular(10, dof=3, seed=1))
+    assert dispatch.estimate_dia_s(a, a) == float("inf")
