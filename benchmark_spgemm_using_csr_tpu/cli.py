@@ -57,7 +57,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--runs", type=int, default=5)
     p.add_argument("--warmup", type=int, default=2)
-    p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument(
+        "--dtype", default="float32",
+        choices=["float32", "bfloat16", "float64"],
+        help="float64 enables jax x64 mode and runs the emulated-f64 lanes "
+        "(grouped rides the double-word int32 transport; verify tightens "
+        "to rtol 1e-12 vs the x64 scipy golden)",
+    )
     p.add_argument("--no-verify", action="store_true", help="skip scipy golden check")
     p.add_argument("--json", action="store_true", help="emit one JSON line instead of text")
     p.add_argument("--roofline", action="store_true", help="per-stage speed-of-light report")
@@ -119,17 +125,29 @@ def load_matrix(spec: str, dtype):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    dtype = np.float32 if args.dtype == "float32" else None
+
+    if args.dtype == "float64":
+        # must flip BEFORE any jax array is created (x64 truncates
+        # otherwise); the reference computes FP64 end-to-end (SURVEY.md §8)
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
 
     import jax.numpy as jnp
 
-    np_dtype = np.float32 if args.dtype == "float32" else jnp.bfloat16
+    np_dtype = {
+        "float32": np.float32,
+        "bfloat16": jnp.bfloat16,
+        "float64": np.float64,
+    }[args.dtype]
 
     from . import CSR, spgemm, spgemm_flops
     from .utils.timing import bench
     from .utils.oracle import spgemm_reference, assert_csr_equal
 
-    a_sp = load_matrix(args.matrix, np.float32)
+    a_sp = load_matrix(
+        args.matrix, np.float64 if args.dtype == "float64" else np.float32
+    )
     a = CSR.from_scipy(a_sp, dtype=np_dtype)
     m, n = a.shape
     nnz_a = int(np.asarray(a.rowptr)[-1])
@@ -178,9 +196,11 @@ def main(argv=None) -> int:
     verified = None
     if not args.no_verify:
         golden = spgemm_reference(a, a)
-        tol = dict(rtol=1e-4, atol=1e-5) if args.dtype == "float32" else dict(
-            rtol=2e-2, atol=1e-2
-        )
+        tol = {
+            "float32": dict(rtol=1e-4, atol=1e-5),
+            "bfloat16": dict(rtol=2e-2, atol=1e-2),
+            "float64": dict(rtol=1e-12, atol=1e-14),
+        }[args.dtype]
         try:
             assert_csr_equal(c, golden, **tol)
             verified = True
@@ -232,7 +252,7 @@ def main(argv=None) -> int:
             m=m,
             total_products=int(nnz_ct),
             nnz_c=nnz_c,
-            itemsize=np.dtype(np.float32).itemsize if args.dtype == "float32" else 2,
+            itemsize={"float32": 4, "bfloat16": 2, "float64": 8}[args.dtype],
         )
         report = roofline_report(models, total_time_s=res.mean_s)
         print(json.dumps(report, indent=2, default=float))

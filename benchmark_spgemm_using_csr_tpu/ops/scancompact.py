@@ -90,6 +90,21 @@ def runsum_compact_scan(
     okey: (S,) uint32 sorted within each w-slot group, SENTINEL padding.
     oval: (S,) f32 product values in the same order.
     """
+    # MISCOMPILE GUARD (round 4, 2026-08-20): when the sorted stream is
+    # produced inside the same jit (the production pipeline: 2D sort ->
+    # reshape(-1) -> this scan), streams LARGER THAN 2^23 slots whose group
+    # width w is NOT a multiple of `block` compute garbage tails — BOTH on
+    # XLA:CPU and XLA:TPU, deterministically, content-dependent (found via
+    # the circuit_64k heavy-row split, W=131040, s=9.43M: kept 6.95M vs
+    # 8.82M true; regression test tests/test_scancompact_fusion.py).
+    # Bisected: s <= 2^23 ok, flat params ok, returning the sort output
+    # alongside ok, and an optimization_barrier between producer and scan
+    # ok — i.e. a fusion-dependent XLA bug, not a semantics bug in the
+    # scan (the same stream passed as a device array gives exact results).
+    # The barrier forces the sorted stream to materialize before the scan
+    # consumes it; the stream is HBM-resident either way, so this costs
+    # nothing measurable.
+    okey, oval = jax.lax.optimization_barrier((okey, oval))
     s = okey.shape[0]
     b = int(min(block, s))
     nb = -(-s // b)

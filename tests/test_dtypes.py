@@ -111,3 +111,52 @@ print("F64 GROUPED OK")
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "F64 GROUPED OK" in out.stdout
+
+
+@pytest.mark.slow
+def test_f64_dia_dense_subprocess():
+    """f64 breadth (VERDICT r3 next #3): the DIA plane-FMA and dense-MXU
+    paths compute f64 end-to-end under x64 mode; x64 scipy oracle at
+    rtol 1e-12."""
+    code = r"""
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import numpy as np
+from benchmark_spgemm_using_csr_tpu import CSR
+from benchmark_spgemm_using_csr_tpu.ops.dia import spgemm_dia
+from benchmark_spgemm_using_csr_tpu.ops.dense import spgemm_dense_auto
+from benchmark_spgemm_using_csr_tpu.utils import generators
+
+a_sp = generators.poisson2d(24).astype(np.float64)  # 576 rows, 5 diagonals
+a_sp.data *= np.random.default_rng(0).standard_normal(a_sp.nnz)
+a = CSR.from_scipy(a_sp)
+c = spgemm_dia(a, a)
+assert str(c.vals.dtype) == "float64", c.vals.dtype
+want = (a_sp @ a_sp).tocsr()
+want.sort_indices(); want.eliminate_zeros()
+got = c.to_scipy().tocsr(); got.sort_indices(); got.eliminate_zeros()
+assert got.nnz == want.nnz
+np.testing.assert_allclose(got.toarray(), want.toarray(),
+                           rtol=1e-12, atol=1e-14)
+
+d_sp = generators.dense_rows(96, 96, nnz_per_row=24, seed=2).astype(np.float64)
+d = CSR.from_scipy(d_sp)
+cd = spgemm_dense_auto(d, d)
+assert str(cd.vals.dtype) == "float64", cd.vals.dtype
+wd = (d_sp @ d_sp).toarray()
+np.testing.assert_allclose(cd.to_scipy().toarray(), wd,
+                           rtol=1e-12, atol=1e-14)
+print("F64 DIA+DENSE OK")
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=560,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "F64 DIA+DENSE OK" in out.stdout
