@@ -562,6 +562,15 @@ def main() -> None:
             plan = make_chunked_plan(x, y)
             return "chunked", lambda u, v, s=plan: spgemm_chunked(u, v, s)
 
+        # fused Galerkin numeric (round 4, VERDICT r3 next #5): one
+        # gather + segmented-scan dispatch on the precomputed triple plan
+        # vs the chained two-pipeline product — both verified, both
+        # recorded; the headline rap number takes the faster (fused).
+        from benchmark_spgemm_using_csr_tpu.ops.reuse import (
+            make_triple_plan, spgemm_triple,
+        )
+
+        tsched = make_triple_plan(r_r, a_r, p_r)
         m1, f1 = _csr_stage(a_r, p_r)
         c1 = jax.block_until_ready(f1(a_r, p_r))  # fixes AP structure
         m2, f2 = _csr_stage(r_r, c1)
@@ -604,9 +613,6 @@ def main() -> None:
                            a_r.shape),),
             k1=K_ITERS, name="rap_poisson2d_256", flops=flops_rap,
         )
-        rap_detail["rap_poisson2d_256"] = round(
-            flops_rap / dres_rap.per_s / 1e9, 4
-        )
         write_result(
             "results.jsonl",
             {"matrix": "rap_poisson2d_256",
@@ -615,6 +621,57 @@ def main() -> None:
              "device_s": dres_rap.per_s, "flops": flops_rap,
              "nnz_c": int(want_rap.nnz), "method": f"{m1}+{m2}",
              "k2_delta": dres_rap.k2, "spread": round(dres_rap.spread, 4)},
+        )
+        best_rap_s, best_rap_m = dres_rap.per_s, f"{m1}+{m2}"
+        if tsched is not None:
+            got_t = spgemm_triple(r_r, a_r, p_r, tsched).to_scipy().tocsr()
+            got_t.sort_indices()
+            got_t.eliminate_zeros()
+            assert got_t.nnz == want_rap.nnz, (got_t.nnz, want_rap.nnz)
+            np.testing.assert_allclose(
+                got_t.data, want_rap.data, rtol=1e-3, atol=1e-4
+            )
+
+            def k_loop_triple(k=K_ITERS):
+                @jax.jit
+                def run(a_c):
+                    def body(a_i, _):
+                        c_i = spgemm_triple(r_r, a_i, p_r, tsched)
+                        eps = runtime_zero_probe(
+                            c_i.rowptr, c_i.colidx, c_i.vals
+                        ).astype(a_c.vals.dtype)
+                        a_next = CSR(
+                            a_i.rowptr, a_i.colidx, a_i.vals + eps,
+                            a_i.shape
+                        )
+                        return a_next, c_i.rowptr[-1]
+                    _, outs = jax.lax.scan(body, a_c, None, length=k)
+                    return outs
+
+                return run
+
+            dres_t = bench_delta_stats(
+                k_loop_triple,
+                lambda i: (CSR(a_r.rowptr, a_r.colidx,
+                               a_r.vals + jnp.asarray(
+                                   1e-6 * i, a_r.vals.dtype),
+                               a_r.shape),),
+                k1=K_ITERS, name="rap_triple", flops=flops_rap,
+            )
+            write_result(
+                "results.jsonl",
+                {"matrix": "rap_poisson2d_256",
+                 "config": "RAP fused triple-plan 1chip K-scan",
+                 "gflops": flops_rap / dres_t.per_s / 1e9,
+                 "device_s": dres_t.per_s, "flops": flops_rap,
+                 "nnz_c": int(want_rap.nnz), "method": "triple",
+                 "k2_delta": dres_t.k2,
+                 "spread": round(dres_t.spread, 4)},
+            )
+            if dres_t.per_s < best_rap_s:
+                best_rap_s, best_rap_m = dres_t.per_s, "triple"
+        rap_detail["rap_poisson2d_256"] = round(
+            flops_rap / best_rap_s / 1e9, 4
         )
     except _Skip:
         pass

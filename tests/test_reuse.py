@@ -96,3 +96,106 @@ def test_numeric_dim_mismatch():
     b = CSR.from_scipy(generators.erdos_renyi(10, 11, 2.0, seed=2))
     with pytest.raises(ValueError, match="inner dims"):
         make_numeric_plan(a, b)
+
+
+# ---------------------------------------------------------------------------
+# fused Galerkin triple product (round 4, VERDICT r3 next #5)
+# ---------------------------------------------------------------------------
+
+
+def _triple_case(n_grid=16, seed=3):
+    import scipy.sparse as sp
+
+    from benchmark_spgemm_using_csr_tpu.models.amg import (
+        aggregation_prolongator,
+    )
+
+    a_sp = generators.poisson2d(n_grid).tocsr().astype(np.float32)
+    rng = np.random.default_rng(seed)
+    a_sp.data = a_sp.data + 0.01 * rng.standard_normal(a_sp.nnz).astype(
+        np.float32
+    )
+    p_sp = aggregation_prolongator(a_sp).astype(np.float32).tocsr()
+    r_sp = p_sp.T.tocsr()
+    return a_sp, p_sp, r_sp
+
+
+def test_triple_matches_chained_oracle():
+    from benchmark_spgemm_using_csr_tpu.ops.reuse import (
+        make_triple_plan,
+        spgemm_triple,
+    )
+
+    a_sp, p_sp, r_sp = _triple_case()
+    a, p, r = map(CSR.from_scipy, (a_sp, p_sp, r_sp))
+    sched = make_triple_plan(r, a, p)
+    assert sched is not None
+    got = spgemm_triple(r, a, p, sched)
+    want = (r_sp @ (a_sp @ p_sp)).tocsr()
+    want.sort_indices()
+    assert_csr_equal(got, want, rtol=1e-4, atol=1e-5)
+    # aggregation P/R: the fused stream is exactly the A@P product count
+    assert sched.plan.total == int(
+        np.diff(p_sp.indptr)[a_sp.indices].sum()
+    )
+
+
+def test_triple_general_rectangular_values_update():
+    """Non-aggregation R (multiple nnz per column) exercises the cartesian
+    expansion; a values-only update must reuse the plan."""
+    from benchmark_spgemm_using_csr_tpu.ops.reuse import (
+        make_triple_plan,
+        spgemm_triple,
+    )
+
+    rng = np.random.default_rng(11)
+    r_sp = generators.erdos_renyi(40, 60, 3.0, seed=1)
+    a_sp = generators.erdos_renyi(60, 50, 4.0, seed=2)
+    p_sp = generators.erdos_renyi(50, 30, 3.0, seed=3)
+    r, a, p = map(CSR.from_scipy, (r_sp, a_sp, p_sp))
+    sched = make_triple_plan(r, a, p)
+    assert sched is not None
+    want = (r_sp @ (a_sp @ p_sp)).tocsr()
+    want.sort_indices()
+    assert_csr_equal(spgemm_triple(r, a, p, sched), want, rtol=1e-4,
+                     atol=1e-5)
+
+    a2_sp = a_sp.copy()
+    a2_sp.data = rng.standard_normal(a2_sp.nnz).astype(np.float32)
+    a2 = CSR.from_scipy(a2_sp, capacity=a.capacity)
+    want2 = (r_sp @ (a2_sp @ p_sp)).tocsr()
+    want2.sort_indices()
+    assert_csr_equal(spgemm_triple(r, a2, p, sched), want2, rtol=1e-4,
+                     atol=1e-5)
+
+
+def test_amg_numeric_refresh():
+    """Hierarchy rebuild for new fine-grid values rides the cached fused
+    triple plans and matches a from-scratch hierarchy's coarse operators."""
+    from benchmark_spgemm_using_csr_tpu.models import amg
+
+    a_sp, _, _ = _triple_case(n_grid=20)
+    h = amg.build_hierarchy(a_sp, max_levels=3, smooth=False)
+    assert len(h.levels) >= 2
+
+    rng = np.random.default_rng(5)
+    a2_sp = a_sp.copy()
+    a2_sp.data = (a2_sp.data + 0.05 * rng.standard_normal(a2_sp.nnz)).astype(
+        np.float32
+    )
+    h2 = amg.numeric_refresh(h, CSR.from_scipy(a2_sp))
+    assert h2._triple_plans[1] is not None  # fused plan actually used
+    # oracle: recompute each coarse level with scipy using the SAME P/R
+    cur = a2_sp
+    for li in range(1, len(h.levels)):
+        p_sp = h.levels[li].p.to_scipy().tocsr()
+        r_sp = h.levels[li].r.to_scipy().tocsr()
+        want = (r_sp @ (cur @ p_sp)).tocsr()
+        want.sort_indices()
+        assert_csr_equal(h2.levels[li].a, want, rtol=1e-4, atol=1e-4)
+        cur = want
+
+    # second refresh hits the cached plans (no rebuild)
+    plans_before = list(h2._triple_plans)
+    h3 = amg.numeric_refresh(h2, CSR.from_scipy(a2_sp))
+    assert all(x is y for x, y in zip(h3._triple_plans, plans_before))
