@@ -107,6 +107,12 @@ def main() -> None:
         # so this node-permuted variant keeps the unstructured-mesh mid-row
         # ESC regime represented in the suite
         "femirr_17k": generators.SUITE["femirr_17k"],
+        # round-4 breadth (VERDICT r3 next #6): pattern-mtx end-to-end
+        # (values synthesized by the reader), mouse_gene-like hub-row skew,
+        # consph-scale FEM
+        "pattern_circuit_64k": generators.SUITE["pattern_circuit_64k"],
+        "hubrows_32k": generators.SUITE["hubrows_32k"],
+        "fem_46k": generators.SUITE["fem_46k"],
     }
     # BENCH_ONLY=name1,name2 scopes a debug run to named points (suite
     # members, 'er_small_f64', 'rap_poisson2d_256', '*_ooc'); the headline
@@ -405,6 +411,96 @@ def main() -> None:
              **per_matrix[name]},
         )
 
+    # ---- rectangular A @ B pair points (round 4, VERDICT r3 next #6):
+    # three distinct dims through the pair-aware dispatch; SCORED in the
+    # headline gmean. BOTH operands ride the scan carry with the probe eps
+    # so B-dependent plan work (aligned table build) stays inside the
+    # timed body — closing B over the scan would let XLA hoist it.
+    for name, pfactory in generators.SUITE_PAIRS.items():
+        if _keep and name not in _keep:
+            continue
+        a_sp, b_sp = pfactory()
+        a = CSR.from_scipy(a_sp)
+        b = CSR.from_scipy(b_sp)
+        flops = spgemm_flops(a, b)
+        from benchmark_spgemm_using_csr_tpu.ops import dispatch as _D
+
+        est = {
+            "chunked": _D.estimate_chunked_s(a, b),
+            "grouped": _D.estimate_grouped_s(a, b),
+            "tilepack": _D.estimate_tilepack_s(a, b),
+        }
+        meth = min(est, key=est.get)
+        fn = None
+        if meth == "grouped":
+            from benchmark_spgemm_using_csr_tpu.ops.grouped import (
+                make_grouped_plan, spgemm_grouped,
+            )
+
+            sched_p = make_grouped_plan(a, b)
+            if sched_p is not None:
+                nnz_c = sched_p.plan.nnz_c
+                fn = lambda u, v, s=sched_p: spgemm_grouped(u, v, s)
+        if fn is None and meth == "tilepack":
+            from benchmark_spgemm_using_csr_tpu.ops.tilepack import (
+                make_tilepack_plan, spgemm_tilepack,
+            )
+
+            sched_p = make_tilepack_plan(a, b)
+            if sched_p is not None:
+                nnz_c = sched_p.plan.nnz_c
+                fn = lambda u, v, s=sched_p: spgemm_tilepack(u, v, s)
+        if fn is None:
+            meth = "chunked"
+            plan_p = make_chunked_plan(a, b)
+            nnz_c = int(np.asarray(
+                spgemm_chunked(a, b, plan_p).rowptr)[-1])
+            fn = lambda u, v, s=plan_p: spgemm_chunked(u, v, s)
+
+        def k_loop_pair(k=K_ITERS, fn=fn, b=b):
+            @jax.jit
+            def run(a_c, b_c):
+                def body(carry, _):
+                    a_i, b_i = carry
+                    c = fn(a_i, b_i)
+                    eps = runtime_zero_probe(
+                        c.rowptr, c.colidx, c.vals
+                    ).astype(a_i.vals.dtype)
+                    a_n = CSR(a_i.rowptr, a_i.colidx, a_i.vals + eps,
+                              a_i.shape)
+                    b_n = CSR(b_i.rowptr, b_i.colidx, b_i.vals + eps,
+                              b_i.shape)
+                    return (a_n, b_n), c.rowptr[-1]
+                _, outs = jax.lax.scan(body, (a_c, b_c), None, length=k)
+                return outs
+
+            return lambda a_c: run(a_c, b)
+
+        dres = bench_delta_stats(
+            k_loop_pair,
+            lambda i: (CSR(a.rowptr, a.colidx,
+                           a.vals + jnp.asarray(1e-6 * i, a.vals.dtype),
+                           a.shape),),
+            k1=K_ITERS, name=name, flops=flops,
+        )
+        per_matrix[name] = {
+            "gflops": flops / dres.per_s / 1e9,
+            "device_s": dres.per_s,
+            "nnz_per_s": nnz_c / dres.per_s,
+            "flops": flops,
+            "nnz_c": nnz_c,
+            "method": meth,
+            "k2_delta": dres.k2,
+            "spread": round(dres.spread, 4),
+            "sol_fraction": 0.0,  # pair stage models not priced yet
+        }
+        write_result(
+            "results.jsonl",
+            {"matrix": name,
+             "config": f"C=A@B rectangular 1chip delta(K{dres.k2},K{K_ITERS})",
+             **per_matrix[name]},
+        )
+
     import time as _time
 
     from benchmark_spgemm_using_csr_tpu.ops.batched import spgemm_batched
@@ -431,6 +527,31 @@ def main() -> None:
                 np.asarray(c.rowptr)[-1]
             )
         wall = min(walls[1:])  # exclude the compile run
+        # OOC roofline (VERDICT r3 next #7): price the batched plan's
+        # per-block dense-MXU stages + one-pass assembly against the wall
+        # clock (host orchestration included, so this is a lower bound on
+        # the sol fraction)
+        sol_b = 0.0
+        try:
+            from benchmark_spgemm_using_csr_tpu.ops.batched import (
+                _cached_plan,
+            )
+            from benchmark_spgemm_using_csr_tpu.utils.roofline import (
+                batched_dense_stage_models,
+                roofline_report,
+            )
+
+            bplan_ooc = _cached_plan(a, a, 64 * 1024 * 1024, None)
+            if bplan_ooc.method == "dense":
+                models_b = batched_dense_stage_models(
+                    bplan_ooc, kdim=a.n, n=a.n,
+                    nnz_a=int(np.asarray(a.rowptr)[-1]),
+                )
+                sol_b = roofline_report(
+                    models_b, total_time_s=wall
+                )["_total"]["sol_fraction"]
+        except Exception as e:  # pragma: no cover
+            print(f"ooc roofline failed: {e!r}", file=sys.stderr)
         per_matrix[name] = {
             "gflops": flops / wall / 1e9,
             "device_s": wall,
@@ -439,7 +560,7 @@ def main() -> None:
             "nnz_c": nnz_c,
             "method": "batched",
             "k2_delta": 0,
-            "sol_fraction": 0.0,  # wall clock incl. host orchestration
+            "sol_fraction": round(float(sol_b), 4),
         }
         write_result(
             "results.jsonl",
@@ -448,64 +569,125 @@ def main() -> None:
              **per_matrix[name]},
         )
 
-    # ---- measured FP64 point: the double-word fast lane (VERDICT r2 #7)
-    # rides grouped-ESC with values packed into TWO int32 lanes; the
-    # chunked slow lane remains the fallback. Correctness vs x64 scipy at
-    # rtol 1e-12 is asserted here, the timing is the same K-scan device
-    # methodology. Reported in `detail` but EXCLUDED from the (f32) gmean
-    # — different arithmetic class.
+    # ---- measured FP64 mini-suite (VERDICT r2 #7 / r3 next #3): one
+    # grouped double-word-lane point + two DIA plane-FMA points, each
+    # verified vs the x64 scipy oracle at rtol 1e-12 (with atol 1e-12 for
+    # cancellation-tiny entries: TPU f64 is double-double-emulated,
+    # ~2^-48/op — measured abs error <= 9e-14 on fem's 73-term rows).
+    # Reported in `detail` with per-point f32-sibling ratios and an f64
+    # mini-gmean; EXCLUDED from the f32 headline gmean.
     f64_detail = {}
+    f64_points = {
+        "er_small_f64": ("grouped",
+                         lambda: generators.erdos_renyi(4096, 4096, 8.0)),
+        "poisson2d_256_f64": ("dia",
+                              lambda: generators.SUITE["poisson2d_256"]()),
+        "fem_17k_f64": ("dia", lambda: generators.SUITE["fem_17k"]()),
+        "dense_rows_2k_f64": ("dense",
+                              lambda: generators.SUITE["dense_rows_2k"]()),
+    }
     try:
-        if _keep and "er_small_f64" not in _keep:
-            raise _Skip
         jax.config.update("jax_enable_x64", True)
-        a_sp64 = generators.erdos_renyi(4096, 4096, 8.0).astype(np.float64)
-        a64 = CSR.from_scipy(a_sp64, dtype=jnp.float64)
-        flops64 = spgemm_flops(a64, a64)
-        from benchmark_spgemm_using_csr_tpu.ops.grouped import (
-            make_grouped_plan as _mk_g64,
-            spgemm_grouped as _sp_g64,
-        )
+        for name64, (meth64, fac64) in f64_points.items():
+            if _keep and name64 not in _keep:
+                continue
+            try:
+                a_sp64 = fac64().astype(np.float64)
+                rng64 = np.random.default_rng(0)
+                a_sp64.data = a_sp64.data * (
+                    1.0 + 1e-8 * rng64.standard_normal(a_sp64.nnz)
+                )
+                a64 = CSR.from_scipy(a_sp64, dtype=jnp.float64)
+                flops64 = spgemm_flops(a64, a64)
+                want = (a_sp64 @ a_sp64).tocsr()
+                want.sort_indices()
+                want.eliminate_zeros()
+                if meth64 == "dia":
+                    a_d64 = DIA.from_scipy(a_sp64)
+                    c64 = jax.block_until_ready(dia_spgemm(a_d64, a_d64))
+                    csp64 = c64.to_scipy().tocsr()
+                    csp64.eliminate_zeros()
+                    nnz_c64 = int(csp64.nnz)
+                    assert nnz_c64 == want.nnz, (nnz_c64, want.nnz)
+                    np.testing.assert_allclose(
+                        csp64.data, want.data, rtol=1e-12, atol=1e-12
+                    )
+                    kfac64 = lambda k=K_ITERS: k_loop_dia(a_d64, k)
+                    vary64 = lambda i: (
+                        a_d64.data + jnp.float64(1e-9) * i,
+                    )
+                elif meth64 == "dense":
+                    # f64 MXU: XLA's emulated-f64 matmul measured 1.89
+                    # TF/s on-chip (16x under f32-HIGHEST's 30.3 —
+                    # scripts/ab_f64.py) — still far above any sort path
+                    dplan64 = make_dense_plan(a64, a64)
+                    c64 = jax.block_until_ready(
+                        spgemm_dense(a64, a64, dplan64)
+                    )
+                    # dense keeps explicit zeros at structural positions,
+                    # matching scipy's unpruned structural product
+                    want_np = (a_sp64 @ a_sp64).tocsr()
+                    want_np.sort_indices()
+                    nnz_c64 = dplan64.nnz_c
+                    assert nnz_c64 == want_np.nnz, (nnz_c64, want_np.nnz)
+                    np.testing.assert_allclose(
+                        np.asarray(c64.vals)[:nnz_c64], want_np.data,
+                        rtol=1e-12, atol=1e-12,
+                    )
+                    kfac64 = lambda k=K_ITERS: k_loop_dense(dplan64, k)
+                    vary64 = lambda i: (
+                        CSR(a64.rowptr, a64.colidx,
+                            a64.vals + jnp.asarray(
+                                1e-9 * i, a64.vals.dtype),
+                            a64.shape),
+                    )
+                else:
+                    from benchmark_spgemm_using_csr_tpu.ops.grouped import (
+                        make_grouped_plan as _mk_g64,
+                        spgemm_grouped as _sp_g64,
+                    )
 
-        gsched64 = _mk_g64(a64, a64)
-        if gsched64 is not None:
-            method64 = "grouped-f64"
-            c64 = jax.block_until_ready(_sp_g64(a64, a64, gsched64))
-            kfac64 = lambda k=K_ITERS: k_loop_grouped(gsched64, k)
-        else:
-            method64 = "chunked-f64"
-            plan64 = make_chunked_plan(a64, a64)
-            c64 = spgemm_chunked(a64, a64, plan64)
-            kfac64 = lambda k=K_ITERS: k_loop_chunked(a64, plan64, k)
-        want = (a_sp64 @ a_sp64).tocsr()
-        want.sort_indices()
-        nnz_c64 = int(np.asarray(c64.rowptr)[-1])
-        assert nnz_c64 == want.nnz, (nnz_c64, want.nnz)
-        got = np.asarray(c64.vals)[:nnz_c64]
-        np.testing.assert_allclose(got, want.data, rtol=1e-12)
-        dres64 = bench_delta_stats(
-            kfac64,
-            lambda i: (CSR(a64.rowptr, a64.colidx,
-                           a64.vals + jnp.asarray(1e-9 * i, a64.vals.dtype),
-                           a64.shape),),
-            k1=K_ITERS, name="er_small_f64", flops=flops64,
-        )
-        device_s64, k2_64 = dres64.per_s, dres64.k2
-        f64_detail["er_small_f64"] = round(flops64 / device_s64 / 1e9, 4)
-        write_result(
-            "results.jsonl",
-            {"matrix": "er_small_f64",
-             "config": "C=A*A 1chip f64 (emulated) K-scan; vs x64 scipy rtol 1e-12",
-             "gflops": flops64 / device_s64 / 1e9,
-             "device_s": device_s64, "flops": flops64, "nnz_c": nnz_c64,
-             "method": method64, "k2_delta": k2_64,
-             "spread": round(dres64.spread, 4),
-             "verified_rtol": 1e-12},
-        )
-    except _Skip:
-        pass
-    except Exception as e:  # pragma: no cover - report, don't sink the suite
-        print(f"f64 point failed: {e!r}", file=sys.stderr)
+                    gsched64 = _mk_g64(a64, a64)
+                    c64 = jax.block_until_ready(
+                        _sp_g64(a64, a64, gsched64)
+                    )
+                    nnz_c64 = int(np.asarray(c64.rowptr)[-1])
+                    assert nnz_c64 == want.nnz, (nnz_c64, want.nnz)
+                    np.testing.assert_allclose(
+                        np.asarray(c64.vals)[:nnz_c64], want.data,
+                        rtol=1e-12, atol=1e-12,
+                    )
+                    kfac64 = lambda k=K_ITERS: k_loop_grouped(gsched64, k)
+                    vary64 = lambda i: (
+                        CSR(a64.rowptr, a64.colidx,
+                            a64.vals + jnp.asarray(
+                                1e-9 * i, a64.vals.dtype),
+                            a64.shape),
+                    )
+                dres64 = bench_delta_stats(
+                    kfac64, vary64, k1=K_ITERS, name=name64, flops=flops64,
+                )
+                f64_detail[name64] = round(
+                    flops64 / dres64.per_s / 1e9, 4
+                )
+                write_result(
+                    "results.jsonl",
+                    {"matrix": name64,
+                     "config": ("C=A*A 1chip f64 (emulated) K-scan; vs "
+                                "x64 scipy rtol 1e-12 atol 1e-12"),
+                     "gflops": flops64 / dres64.per_s / 1e9,
+                     "device_s": dres64.per_s, "flops": flops64,
+                     "nnz_c": nnz_c64, "method": f"{meth64}-f64",
+                     "k2_delta": dres64.k2,
+                     "spread": round(dres64.spread, 4),
+                     "verified_rtol": 1e-12},
+                )
+            except Exception as e:  # pragma: no cover
+                print(f"f64 point {name64} failed: {e!r}", file=sys.stderr)
+        if f64_detail:
+            f64_detail["gmean_f64"] = round(float(np.exp(np.mean(
+                [np.log(v) for v in f64_detail.values()]
+            ))), 4)
     finally:
         jax.config.update("jax_enable_x64", False)
 
@@ -637,14 +819,19 @@ def main() -> None:
                 def run(a_c):
                     def body(a_i, _):
                         c_i = spgemm_triple(r_r, a_i, p_r, tsched)
-                        eps = runtime_zero_probe(
-                            c_i.rowptr, c_i.colidx, c_i.vals
-                        ).astype(a_c.vals.dtype)
+                        eps = runtime_zero_probe(c_i.vals).astype(
+                            a_c.vals.dtype
+                        )
                         a_next = CSR(
                             a_i.rowptr, a_i.colidx, a_i.vals + eps,
                             a_i.shape
                         )
-                        return a_next, c_i.rowptr[-1]
+                        # triple plans carry C's structure as CONSTANTS:
+                        # the per-iteration output must be data-dependent
+                        # (vals[0]) or XLA DCEs the whole scan — returning
+                        # rowptr[-1] here measured 1.4 us for a ~ms body
+                        # (the utils/timing probe trap, round 4)
+                        return a_next, c_i.vals[0]
                     _, outs = jax.lax.scan(body, a_c, None, length=k)
                     return outs
 

@@ -45,12 +45,21 @@ from ..ops.chunked import (
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class ShardedCSR:
-    """Row-sharded CSR: shard i holds rows [i*m_loc, (i+1)*m_loc)."""
+    """Row-sharded CSR. Uniform partition (bounds is None): shard i holds
+    rows [i*m_loc, (i+1)*m_loc). Product-balanced partition (round 4,
+    VERDICT r3 next #4): shard i holds rows [bounds[i], bounds[i+1]) at
+    local positions 0..cnt_i, trailing local rows empty — every shard
+    still sees the same static m_loc, but the unified-statics CAPACITIES
+    (chunk stream, group count, output) shrink from max-shard to
+    ~mean-shard because products are equalized."""
 
     rowptr: jax.Array  # (P, m_loc + 1) — local rowptrs (start at 0)
     colidx: jax.Array  # (P, cap)
     vals: jax.Array  # (P, cap)
     shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
+    bounds: Tuple[int, ...] | None = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
 
     @property
     def n_shards(self) -> int:
@@ -65,19 +74,54 @@ class ShardedCSR:
         return self.colidx.shape[1]
 
 
-def shard_rows(a: CSR, n_shards: int, cap: int | None = None) -> ShardedCSR:
-    """Host-side 1D row partition. m is padded up to a multiple of n_shards
-    with empty rows (padding rows produce empty C rows, trimmed on unshard)."""
+def balanced_row_bounds(a: CSR, b: CSR | None = None,
+                        n_shards: int = 1) -> np.ndarray:
+    """Product-balanced contiguous row boundaries (n_shards + 1,): rows are
+    assigned by cumulative intermediate-product count so every shard
+    carries ~total/P products — the greedy fill grouped-ESC already uses
+    per group, applied across shards (VERDICT r3 next #4)."""
+    b = a if b is None else b
+    rowptr = host_view(a.rowptr).astype(np.int64)[: a.m + 1]
+    nnz = int(rowptr[-1])
+    b_len = np.diff(host_view(b.rowptr).astype(np.int64)[: b.m + 1])
+    lens = b_len[host_view(a.colidx)[:nnz].astype(np.int64)]
+    cs = np.concatenate([[0], np.cumsum(lens, dtype=np.int64)])
+    row_prod = cs[rowptr]  # (m + 1,) products before each row
+    targets = row_prod[-1] * np.arange(1, n_shards) // n_shards
+    cuts = np.searchsorted(row_prod, targets, side="left")
+    bounds = np.concatenate([[0], cuts, [a.m]])
+    return np.maximum.accumulate(bounds)  # monotone even on degenerate input
+
+
+def shard_rows(
+    a: CSR, n_shards: int, cap: int | None = None,
+    bounds: np.ndarray | None = None,
+) -> ShardedCSR:
+    """Host-side 1D row partition. Uniform (bounds None): m padded up to a
+    multiple of n_shards with empty rows. Non-uniform: explicit boundaries
+    (from balanced_row_bounds); every shard is padded to the max row count
+    with empty trailing rows. Padding rows produce empty C rows, trimmed
+    on unshard."""
     m, n = a.shape
-    m_pad = ((m + n_shards - 1) // n_shards) * n_shards
-    m_loc = m_pad // n_shards
     rowptr = np.asarray(a.rowptr)
-    rowptr_full = np.concatenate([rowptr, np.full(m_pad - m, rowptr[-1], rowptr.dtype)])
     colidx = np.asarray(a.colidx)
     vals = np.asarray(a.vals)
-
-    starts = rowptr_full[np.arange(n_shards) * m_loc]
-    ends = rowptr_full[(np.arange(n_shards) + 1) * m_loc]
+    if bounds is None:
+        m_pad = ((m + n_shards - 1) // n_shards) * n_shards
+        m_loc = m_pad // n_shards
+        row_bounds = np.arange(n_shards + 1, dtype=np.int64) * m_loc
+        bounds_t = None
+    else:
+        row_bounds = np.asarray(bounds, np.int64)
+        assert len(row_bounds) == n_shards + 1
+        m_loc = int(np.diff(row_bounds).max(initial=1))
+        bounds_t = tuple(int(x) for x in row_bounds)
+    rowptr_full = np.concatenate(
+        [rowptr[: m + 1],
+         np.full(max(row_bounds[-1] - m, 0), rowptr[m], rowptr.dtype)]
+    )
+    starts = rowptr_full[np.minimum(row_bounds[:-1], m)]
+    ends = rowptr_full[np.minimum(row_bounds[1:], m)]
     if cap is None:
         cap = pad_bucket(int((ends - starts).max()) if n_shards else 1)
     rp = np.zeros((n_shards, m_loc + 1), np.int32)
@@ -85,31 +129,46 @@ def shard_rows(a: CSR, n_shards: int, cap: int | None = None) -> ShardedCSR:
     va = np.zeros((n_shards, cap), vals.dtype)
     for i in range(n_shards):
         lo, hi = int(starts[i]), int(ends[i])
-        rp[i] = rowptr_full[i * m_loc : (i + 1) * m_loc + 1] - lo
+        cnt = int(row_bounds[i + 1] - row_bounds[i])
+        rp[i, : cnt + 1] = (
+            rowptr_full[row_bounds[i] : row_bounds[i + 1] + 1] - lo
+        )
+        rp[i, cnt + 1 :] = rp[i, cnt]  # trailing empty rows
         ci[i, : hi - lo] = colidx[lo:hi]
         va[i, : hi - lo] = vals[lo:hi]
-    return ShardedCSR(jnp.asarray(rp), jnp.asarray(ci), jnp.asarray(va), (m, n))
+    return ShardedCSR(
+        jnp.asarray(rp), jnp.asarray(ci), jnp.asarray(va), (m, n),
+        bounds=bounds_t,
+    )
 
 
 def unshard(c: ShardedCSR, trim: bool = True) -> CSR:
-    """Host-side inverse of shard_rows (concatenate + repack)."""
+    """Host-side inverse of shard_rows (concatenate + repack); honors a
+    non-uniform bounds partition."""
     m, n = c.shape
     P_, m_loc = c.n_shards, c.m_loc
     rp = np.asarray(c.rowptr)
     ci = np.asarray(c.colidx)
     va = np.asarray(c.vals)
-    nnz_per = rp[:, -1]
+    if c.bounds is not None:
+        cnts = np.diff(np.asarray(c.bounds, np.int64))
+    else:
+        cnts = np.full(P_, m_loc, np.int64)
+    nnz_per = rp[np.arange(P_), cnts]  # nnz within each shard's REAL rows
     total = int(nnz_per.sum())
     colidx = np.zeros(pad_bucket(total), np.int32)
     vals = np.zeros(pad_bucket(total), va.dtype)
-    rowptr = np.zeros(P_ * m_loc + 1, np.int32)
+    rowptr = np.zeros(int(cnts.sum()) + 1, np.int32)
     off = 0
+    row0 = 0
     for i in range(P_):
         k = int(nnz_per[i])
+        cnt = int(cnts[i])
         colidx[off : off + k] = ci[i, :k]
         vals[off : off + k] = va[i, :k]
-        rowptr[i * m_loc + 1 : (i + 1) * m_loc + 1] = rp[i, 1:] + off
+        rowptr[row0 + 1 : row0 + cnt + 1] = rp[i, 1 : cnt + 1] + off
         off += k
+        row0 += cnt
     rowptr_out = rowptr[: m + 1] if trim else rowptr
     return CSR(
         jnp.asarray(rowptr_out), jnp.asarray(colidx), jnp.asarray(vals), (m, n)
@@ -245,18 +304,21 @@ class DistGroupedPlan:
 
 
 def make_dist_grouped_plan(
-    a: CSR, b: CSR, n_shards: int
+    a: CSR, b: CSR, n_shards: int, bounds: np.ndarray | None = None
 ) -> DistGroupedPlan | None:
     """Per-shard grouped schedules under unified statics: pass 1 plans each
     row shard with the GLOBAL plan's mode + group-size target, pass 2
-    rebuilds every shard under the max statics (ops.grouped's `fixed`)."""
+    rebuilds every shard under the max statics (ops.grouped's `fixed`).
+
+    bounds: product-balanced boundaries (balanced_row_bounds) — equalizes
+    per-shard products so the unified max statics sit near the mean."""
     from ..ops.grouped import make_grouped_plan
 
     base = make_grouped_plan(a, b)
     if base is None:
         return None
     bp = base.plan
-    a_sh = shard_rows(a, n_shards)
+    a_sh = shard_rows(a, n_shards, bounds=bounds)
     m_loc, kdim = a_sh.m_loc, a.n
     subs = [
         CSR(a_sh.rowptr[d], a_sh.colidx[d], a_sh.vals[d], (m_loc, kdim))
@@ -380,10 +442,13 @@ def dist_spgemm_replicated(
             grouped_plan.sorted_off, grouped_plan.fill_end,
             b.rowptr, b.colidx, b.vals,
         )
-        return ShardedCSR(rowptr, colidx, vals, (m, n))
+        return ShardedCSR(rowptr, colidx, vals, (m, n), bounds=a.bounds)
     if plan is None:
         if a_full is not None:
-            plan = make_dist_local_plan(a_full, b, a.n_shards)
+            plan = make_dist_local_plan(
+                a_full, b, a.n_shards,
+                bounds=np.asarray(a.bounds) if a.bounds else None,
+            )
         else:
             chunk_k = chunk_k or 8
             plan = ChunkedPlan(
@@ -395,7 +460,7 @@ def dist_spgemm_replicated(
     rowptr, colidx, vals = fn(
         a.rowptr, a.colidx, a.vals, b.rowptr, b.colidx, b.vals
     )
-    return ShardedCSR(rowptr, colidx, vals, (m, n))
+    return ShardedCSR(rowptr, colidx, vals, (m, n), bounds=a.bounds)
 
 
 # ---------------------------------------------------------------------------
@@ -432,13 +497,18 @@ class RingPlan:
     a_row: jax.Array  # (P, cap_e) local row id per reordered entry
     chunkptr: jax.Array  # (P, P + 1) chunk boundaries per owner block
     rp_glob_pad: jax.Array  # (P * k_loc + 1,) padded global B rowptr
+    bounds: tuple | None = None  # non-uniform A-row partition (if any)
 
 
-def make_ring_plan(a: CSR, b: CSR, n_shards: int) -> RingPlan:
+def make_ring_plan(
+    a: CSR, b: CSR, n_shards: int, bounds: np.ndarray | None = None
+) -> RingPlan:
     """Group each shard's A entries by the B shard owning their column and
     quantize the per-entry product segments into k-wide chunks (host, one
-    structure pass — the ring analogue of make_chunked_plan)."""
-    a_sh = shard_rows(a, n_shards)
+    structure pass — the ring analogue of make_chunked_plan).
+
+    bounds: product-balanced A-row boundaries (balanced_row_bounds)."""
+    a_sh = shard_rows(a, n_shards, bounds=bounds)
     m_loc, cap_e = a_sh.m_loc, a_sh.cap
     k_pad = ((b.m + n_shards - 1) // n_shards) * n_shards
     k_loc = k_pad // n_shards
@@ -498,6 +568,7 @@ def make_ring_plan(a: CSR, b: CSR, n_shards: int) -> RingPlan:
         a_row=jnp.asarray(a_row),
         chunkptr=jnp.asarray(chunkptr.astype(np.int32)),
         rp_glob_pad=jnp.asarray(rp_glob_pad.astype(np.int32)),
+        bounds=a_sh.bounds,
     )
 
 
@@ -685,7 +756,7 @@ def dist_spgemm_ring(
         ring_plan.a_col, ring_plan.a_val, ring_plan.a_row,
         ring_plan.chunkptr, b.colidx, b.vals, ring_plan.rp_glob_pad,
     )
-    return ShardedCSR(rowptr, colidx, vals, (m, n))
+    return ShardedCSR(rowptr, colidx, vals, (m, n), bounds=ring_plan.bounds)
 
 
 # ---------------------------------------------------------------------------

@@ -70,8 +70,13 @@ class HaloPlan:
     local_plan: ChunkedPlan | None = None
 
 
-def build_halo_plan(a: CSR, b: CSR, n_shards: int) -> HaloPlan:
-    """Compute the halo plan on the host (plan once, run many)."""
+def build_halo_plan(
+    a: CSR, b: CSR, n_shards: int, bounds: np.ndarray | None = None
+) -> HaloPlan:
+    """Compute the halo plan on the host (plan once, run many).
+
+    bounds: product-balanced A-row boundaries (dist.balanced_row_bounds) —
+    non-uniform contiguous row blocks per shard (VERDICT r3 next #4)."""
     m, k = a.shape
     n = b.n
     a_rowptr = np.asarray(a.rowptr)
@@ -79,7 +84,7 @@ def build_halo_plan(a: CSR, b: CSR, n_shards: int) -> HaloPlan:
     b_rowptr = np.asarray(b.rowptr)
     b_len = np.diff(b_rowptr)
 
-    a_sh = shard_rows(a, n_shards)
+    a_sh = shard_rows(a, n_shards, bounds=bounds)
     m_loc = a_sh.m_loc
     k_pad = ((k + n_shards - 1) // n_shards) * n_shards
     k_loc = k_pad // n_shards
@@ -90,14 +95,24 @@ def build_halo_plan(a: CSR, b: CSR, n_shards: int) -> HaloPlan:
     # (shard, col) unique gives every shard's sorted halo at once, and the
     # (owner, requester) exchange tables fall out of bincounts + exclusive
     # cumsums over the (P, P) size matrix.
-    m_padded = n_shards * m_loc
-    rowptr_full = np.concatenate(
-        [a_rowptr, np.full(m_padded - m, a_rowptr[-1], a_rowptr.dtype)]
-    ).astype(np.int64)
     nnz_a = int(a_rowptr[-1])
-    entry_shard = np.repeat(
-        np.arange(m_padded, dtype=np.int64) // m_loc, np.diff(rowptr_full)
-    )
+    if bounds is None:
+        m_padded = n_shards * m_loc
+        rowptr_full = np.concatenate(
+            [a_rowptr, np.full(m_padded - m, a_rowptr[-1], a_rowptr.dtype)]
+        ).astype(np.int64)
+        entry_shard = np.repeat(
+            np.arange(m_padded, dtype=np.int64) // m_loc,
+            np.diff(rowptr_full),
+        )
+    else:
+        row_of_shard = (
+            np.searchsorted(np.asarray(bounds, np.int64), np.arange(m),
+                            side="right") - 1
+        )
+        entry_shard = np.repeat(
+            row_of_shard, np.diff(a_rowptr.astype(np.int64)[: m + 1])
+        )
     uk = np.unique(entry_shard * (k + 1) + a_colidx[:nnz_a].astype(np.int64))
     req = uk // (k + 1)  # requester shard of each unique halo row (sorted)
     hrow = uk % (k + 1)  # global B row id (sorted within each requester)
@@ -163,7 +178,7 @@ def build_halo_plan(a: CSR, b: CSR, n_shards: int) -> HaloPlan:
     local = pos - halo_starts[np.arange(n_shards)][:, None]
     ci = np.where(valid, local, ci).astype(np.int32)
     a_remap = ShardedCSR(
-        a_sh.rowptr, jnp.asarray(ci), a_sh.vals, (m, k)
+        a_sh.rowptr, jnp.asarray(ci), a_sh.vals, (m, k), bounds=a_sh.bounds
     )
 
     # --- per-shard product bound for static capacities ----------------------
@@ -178,6 +193,7 @@ def build_halo_plan(a: CSR, b: CSR, n_shards: int) -> HaloPlan:
             hlen[halo_starts[j]:halo_starts[j + 1]]
             for j in range(n_shards)
         ],
+        bounds=bounds,
     )
 
     return HaloPlan(
@@ -254,7 +270,7 @@ def dist_spgemm_halo(
         plan.output_offsets, plan.recv_sizes, plan.recv_offsets,
         plan.halo_rowptr,
     )
-    return ShardedCSR(rowptr, colidx, vals, (m, n))
+    return ShardedCSR(rowptr, colidx, vals, (m, n), bounds=plan.a_sh.bounds)
 
 
 @functools.lru_cache(maxsize=128)

@@ -264,6 +264,71 @@ def dense_rows(
     return mat
 
 
+def hub_rows(
+    m: int, n: int, alpha: float = 1.9, max_deg: int = 8192,
+    n_hubs: int = 24, dtype=np.float32, seed: int = 0,
+) -> sp.csr_matrix:
+    """mouse_gene-like: power-law row lengths PLUS a band of explicit
+    ~max_deg-nnz hub rows (mouse_gene: 45k rows, mean ~640 nnz, heaviest
+    rows ~10k). Distinct from ``dense_rows`` (uniform) and ``power_law``
+    (smooth tail): the hub band concentrates a large product share in a
+    handful of rows — the reference's merge/progressive-allocation stress
+    (SURVEY.md §8, BASELINE.json config #4)."""
+    rng = np.random.default_rng(seed)
+    base = power_law(m, n, alpha=alpha, min_deg=2, max_deg=max_deg // 8,
+                     dtype=dtype, seed=seed)
+    hubs = rng.choice(m, size=n_hubs, replace=False)
+    hr = np.repeat(hubs, max_deg)
+    hc = rng.integers(0, n, size=n_hubs * max_deg, dtype=np.int64)
+    hv = rng.standard_normal(hr.size).astype(dtype)
+    mat = (base + sp.coo_matrix((hv, (hr, hc)), shape=(m, n))).tocsr()
+    mat.sum_duplicates()
+    mat.sort_indices()
+    return mat
+
+
+def rect_pair(
+    m: int, k: int, n: int, nnz_per_row_a: float = 10.0,
+    nnz_per_row_b: float = 12.0, dtype=np.float32, seed: int = 0,
+) -> tuple[sp.csr_matrix, sp.csr_matrix]:
+    """A (m x k) @ B (k x n) with three DISTINCT dims — the plain
+    rectangular SpGEMM suite point (VERDICT r3 next #6; the reference's
+    initData takes (m, k, n) even though its benchmark squares A)."""
+    a = erdos_renyi(m, k, nnz_per_row_a, dtype=dtype, seed=seed)
+    b = erdos_renyi(k, n, nnz_per_row_b, dtype=dtype, seed=seed + 1)
+    return a, b
+
+
+def write_pattern_mtx(path: str, m: int = 65536, seed: int = 9) -> None:
+    """Emit a Matrix Market PATTERN file (no values stored) with a
+    circuit-like structure — the suite's pattern-matrix point reads it
+    back through utils/mtx (values synthesized to 1.0), exercising the
+    reference's pattern-mtx driver contract end-to-end (SURVEY.md §4:
+    'values taken from file or synthesized for pattern matrices')."""
+    mat = circuit(m, seed=seed)
+    coo = mat.tocoo()
+    with open(path, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate pattern general\n")
+        f.write(f"{coo.shape[0]} {coo.shape[1]} {coo.nnz}\n")
+        np.savetxt(f, np.stack([coo.row + 1, coo.col + 1], 1), fmt="%d")
+
+
+def pattern_mtx_roundtrip(m: int = 65536, seed: int = 9) -> sp.csr_matrix:
+    """Write + read the pattern .mtx (cached per process) and return the
+    value-synthesized CSR."""
+    import os
+    import tempfile
+
+    from . import mtx
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"pattern_circuit_{m}_{seed}.mtx"
+    )
+    if not os.path.exists(path):
+        write_pattern_mtx(path, m=m, seed=seed)
+    return mtx.read_mtx(path).tocsr()
+
+
 SUITE = {
     # name -> factory; stands in for the reference's SuiteSparse suite
     "poisson2d_64": lambda: poisson2d(64),
@@ -305,4 +370,14 @@ SUITE = {
     # mid-row ESC path carries it (the TRUE unstructured-mesh cant
     # analogue now that the regular fem members ride DIA)
     "femirr_17k": lambda: fem_irregular(18, dof=3, fill=0.7, seed=3),
+    # round-4 suite breadth (VERDICT r3 next #6): pattern-mtx end-to-end,
+    # hub-row skew (mouse_gene), and a consph-scale FEM size
+    "pattern_circuit_64k": lambda: pattern_mtx_roundtrip(65536, seed=9),
+    "hubrows_32k": lambda: hub_rows(32768, 32768, seed=12),
+    "fem_46k": lambda: fem(25, dof=3, fill=0.7, seed=6),   # 46875 rows
+}
+
+# rectangular A @ B pairs (two operands — benched via the pair-aware loop)
+SUITE_PAIRS = {
+    "rect_96k_24k_48k": lambda: rect_pair(98304, 24576, 49152, seed=7),
 }

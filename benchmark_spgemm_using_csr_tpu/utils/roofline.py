@@ -391,6 +391,53 @@ def dense_stage_models(
     }
 
 
+def batched_dense_stage_models(
+    plan, kdim: int, n: int, nnz_a: int, itemsize: int = 4
+) -> dict[str, StageModel]:
+    """Priced stages for the dense-method batched plan: per-block densify
+    scatter + MXU matmul + static extraction, plus one B densification and
+    the single-pass value assembly."""
+    nb = len(plan.blocks)
+    flops = 3.0 * 2.0 * nb * plan.rows_cap * kdim * n  # f32-HIGHEST passes
+    bytes_blocks = 0.0
+    for i, (lo, hi) in enumerate(plan.blocks):
+        bytes_blocks += plan.rows_cap * kdim * itemsize  # A block write+read
+        bytes_blocks += plan.rows_cap * n * itemsize  # C block write
+        mode = plan.flat_c[i][0] if plan.flat_c else "gather"
+        if mode == "shift":
+            disp_bits = plan.flat_c[i][1][2]
+            bytes_blocks += (
+                disp_bits * plan.rows_cap * n * 2 * itemsize
+            )  # log(holes) shift passes
+        elif mode == "gather":
+            bytes_blocks += plan.nnz_c_blk[i] * 2 * itemsize
+    desc = float(nnz_a)  # densify scatters
+    gather_desc = sum(
+        plan.nnz_c_blk[i]
+        for i in range(nb)
+        if plan.flat_c and plan.flat_c[i][0] == "gather"
+    )
+    return {
+        "densify_b": StageModel(
+            "densify_b",
+            bytes_moved=float(kdim) * n * itemsize,
+            flops=0.0,
+            descriptors=0.0,
+        ),
+        "blocks": StageModel(
+            "blocks",
+            bytes_moved=bytes_blocks,
+            flops=flops,
+            descriptors=desc + gather_desc,
+        ),
+        "assembly": StageModel(
+            "assembly",
+            bytes_moved=2.0 * plan.nnz_c * itemsize,
+            flops=0.0,
+        ),
+    }
+
+
 def roofline_report(
     stage_models: dict[str, StageModel],
     stage_times_s: dict[str, float] | None = None,

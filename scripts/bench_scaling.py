@@ -67,74 +67,128 @@ def main():
     print("NOTE: virtual CPU mesh — slots share one machine; numbers validate")
     print("the schedules, not hardware scaling (single physical TPU chip).")
 
-    a = CSR.from_scipy(generators.erdos_renyi(4096, 4096, 8.0, seed=3))
-    flops = spgemm_flops(a, a)
+    cases = {
+        "er4k": generators.erdos_renyi(4096, 4096, 8.0, seed=3),
+        # skewed: the case where product-balanced bounds actually move
+        # the unified statics (VERDICT r3 next #4)
+        "powerlaw4k": generators.power_law(
+            4096, 4096, alpha=2.0, max_deg=512, seed=3
+        ),
+    }
+    import scipy.sparse as sp
 
-    for schedule in ("replicated", "ring", "halo"):
-        print(f"\n--- {schedule}: fixed 4k-row ER, exec-only timing ---")
-        t1 = None
-        for n in sizes:
-            mesh = Mesh(np.array(devs[:n]), ("rows",))
-            prod_cap = shard_bounds(a, n)
-            if schedule == "replicated":
-                a_sh = dist.shard_rows(a, n)
-                lp = dist.make_dist_local_plan(a, a, n)
-                run = lambda: dist.dist_spgemm_replicated(
-                    a_sh, a, mesh, plan=lp
+    from benchmark_spgemm_using_csr_tpu.ops.chunked import (
+        make_chunked_plan, spgemm_chunked,
+    )
+
+    for cname, a_sp_in in cases.items():
+        a = CSR.from_scipy(a_sp_in)
+        flops = spgemm_flops(a, a)
+        for schedule in ("replicated", "ring", "halo"):
+            for part in ("uniform", "balanced"):
+                bounds = (
+                    None if part == "uniform"
+                    else dist.balanced_row_bounds(a, a, sizes[-1])
                 )
-            elif schedule == "ring":
-                a_sh = dist.shard_rows(a, n)
-                b_sh = dist.shard_rows(a, n)
-                rplan = dist.make_ring_plan(a, a, n)
-                run = lambda: dist.dist_spgemm_ring(
-                    a_sh, b_sh, a.rowptr, mesh, axis="rows", ring_plan=rplan
+                tag = f"{cname}/{schedule}/{part}"
+                print(f"\n--- {tag}: exec-only timing ---")
+                t1 = None
+                for n in sizes:
+                    bnds = (
+                        None if part == "uniform"
+                        else dist.balanced_row_bounds(a, a, n)
+                    )
+                    mesh = Mesh(np.array(devs[:n]), ("rows",))
+                    if schedule == "replicated":
+                        a_sh = dist.shard_rows(a, n, bounds=bnds)
+                        lp = dist.make_dist_local_plan(
+                            a, a, n, bounds=bnds
+                        )
+                        run = lambda: dist.dist_spgemm_replicated(
+                            a_sh, a, mesh, plan=lp
+                        )
+                    elif schedule == "ring":
+                        a_sh = dist.shard_rows(a, n, bounds=bnds)
+                        b_sh = dist.shard_rows(a, n)
+                        rplan = dist.make_ring_plan(a, a, n, bounds=bnds)
+                        run = lambda: dist.dist_spgemm_ring(
+                            a_sh, b_sh, a.rowptr, mesh, axis="rows",
+                            ring_plan=rplan,
+                        )
+                    else:
+                        plan = build_halo_plan(a, a, n, bounds=bnds)
+                        b_sh = dist.shard_rows(a, n)
+                        run = lambda: dist_spgemm_halo(plan, b_sh, mesh)
+                    # correctness once per config (at N=last)
+                    if n == sizes[-1]:
+                        got = dist.unshard(run()).to_scipy().tocsr()
+                        want = (a.to_scipy() @ a.to_scipy()).tocsr()
+                        got.sort_indices(); want.sort_indices()
+                        got.eliminate_zeros(); want.eliminate_zeros()
+                        assert got.nnz == want.nnz, (tag, got.nnz, want.nnz)
+                        np.testing.assert_allclose(
+                            got.data, want.data, rtol=1e-3, atol=1e-3
+                        )
+                    t = timeit(run)
+                    t1 = t1 or t
+                    eff = t1 / (n * t)
+                    print(f"  N={n}: {t*1e3:9.2f} ms  {flops/t/1e9:7.3f} GF"
+                          f"  strong-eff {eff*100:5.1f}% (shared-CPU mesh)")
+                    write_result(
+                        "results.jsonl",
+                        {"config": f"scaling/{schedule}",
+                         "case": cname, "partition": part,
+                         "mode": "strong-execonly",
+                         "n_dev": n, "mean_s": t,
+                         "gflops": flops / t / 1e9,
+                         "efficiency": eff, "backend": devs[0].platform,
+                         "caveat": "virtual CPU mesh shares one machine"},
+                    )
+                    t_last = t
+
+                # --- per-shard parity + decomposition (VERDICT r3 #4):
+                # t(N)/N vs (a) single-chip tuned plan on a shard-sized
+                # problem, and (b) the SAME unified dist plan run as a
+                # plain single-device jit — (b)-(a) isolates the
+                # unified-statics padding cost, t(N)/N - (b) isolates
+                # shard_map/collective overhead on the shared core.
+                n = sizes[-1]
+                bnds = bounds
+                if bnds is None:
+                    m_loc = -(-a.m // n)
+                    lo, hi = 0, m_loc
+                else:
+                    widths = np.diff(bnds)
+                    i_big = int(np.argmax(widths))
+                    lo, hi = int(bnds[i_big]), int(bnds[i_big + 1])
+                a_sp = a.to_scipy().tocsr()
+                sub = CSR.from_scipy(sp.csr_matrix(a_sp[lo:hi]))
+                lp1 = make_chunked_plan(sub, a)
+                run1 = jax.jit(lambda s_, a_: spgemm_chunked(s_, a_, lp1))
+                t_local = timeit(lambda: run1(sub, a))
+                lp_u = dist.make_dist_local_plan(a, a, n, bounds=bnds)
+                run_u = jax.jit(lambda s_, a_: spgemm_chunked(s_, a_, lp_u))
+                t_unified = timeit(lambda: run_u(sub, a))
+                parity = (t_last / n) / t_local
+                print(f"  parity N={n}: dist {t_last/n*1e3:.2f} ms/shard | "
+                      f"tuned-1shard {t_local*1e3:.2f} | "
+                      f"unified-plan-1shard {t_unified*1e3:.2f} -> "
+                      f"{parity:.2f}x (padding {t_unified/t_local:.2f}x, "
+                      f"shard_map {(t_last/n)/t_unified:.2f}x)")
+                write_result(
+                    "results.jsonl",
+                    {"config": f"scaling/{schedule}",
+                     "case": cname, "partition": part,
+                     "mode": "per-shard-parity",
+                     "n_dev": n, "dist_per_shard_s": t_last / n,
+                     "single_shard_s": t_local,
+                     "unified_plan_shard_s": t_unified,
+                     "parity_x": parity,
+                     "padding_x": t_unified / t_local,
+                     "shardmap_x": (t_last / n) / t_unified,
+                     "backend": devs[0].platform,
+                     "caveat": "virtual CPU mesh shares one machine"},
                 )
-            else:
-                plan = build_halo_plan(a, a, n)
-                b_sh = dist.shard_rows(a, n)
-                run = lambda: dist_spgemm_halo(plan, b_sh, mesh)
-            t = timeit(run)
-            t1 = t1 or t
-            eff = t1 / (n * t)
-            print(f"  N={n}: {t*1e3:9.2f} ms  {flops/t/1e9:7.3f} GFlops  strong-eff {eff*100:5.1f}% (shared-CPU mesh)")
-            write_result(
-                "results.jsonl",
-                {"config": f"scaling/{schedule}", "mode": "strong-execonly",
-                 "n_dev": n, "mean_s": t, "gflops": flops / t / 1e9,
-                 "efficiency": eff, "backend": devs[0].platform,
-                 "caveat": "virtual CPU mesh shares one machine"},
-            )
-            t_last = t
-
-        # --- per-shard parity (VERDICT r2 next #5): exec time of the dist
-        # local kernel per shard vs the single-chip tuned path on an
-        # identical shard-sized problem. On the shared-CPU mesh the N-dev
-        # exec wall is ~the SUM of shard works (one core), so per-shard
-        # time is t(N)/N; target ratio <= 1.5x.
-        n = sizes[-1]
-        m_loc = -(-a.m // n)
-        import scipy.sparse as sp
-
-        a_sp = a.to_scipy().tocsr()
-        sub = CSR.from_scipy(sp.csr_matrix(a_sp[:m_loc]))
-        from benchmark_spgemm_using_csr_tpu.ops.chunked import (
-            make_chunked_plan, spgemm_chunked,
-        )
-
-        lp1 = make_chunked_plan(sub, a)
-        run1 = jax.jit(lambda s_, a_: spgemm_chunked(s_, a_, lp1))
-        t_local = timeit(lambda: run1(sub, a))
-        parity = (t_last / n) / t_local
-        print(f"  per-shard parity N={n}: dist {t_last/n*1e3:.2f} ms/shard"
-              f" vs single-chip {t_local*1e3:.2f} ms -> {parity:.2f}x")
-        write_result(
-            "results.jsonl",
-            {"config": f"scaling/{schedule}", "mode": "per-shard-parity",
-             "n_dev": n, "dist_per_shard_s": t_last / n,
-             "single_shard_s": t_local, "parity_x": parity,
-             "backend": devs[0].platform,
-             "caveat": "virtual CPU mesh shares one machine"},
-        )
 
 
 if __name__ == "__main__":

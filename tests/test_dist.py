@@ -52,6 +52,68 @@ def test_dist_spgemm_powerlaw_ring(eight_devices):
     assert_csr_equal(c, spgemm_reference(a, a), rtol=1e-4, atol=1e-5)
 
 
+def test_balanced_bounds_shard_roundtrip(eight_devices):
+    """Product-balanced non-uniform partition (round 4, VERDICT r3 #4):
+    shard/unshard round-trips and boundaries equalize products."""
+    from benchmark_spgemm_using_csr_tpu.parallel.dist import (
+        balanced_row_bounds,
+    )
+
+    a = CSR.from_scipy(
+        generators.power_law(300, 300, alpha=1.8, max_deg=128, seed=6)
+    )
+    bounds = balanced_row_bounds(a, a, 8)
+    assert bounds[0] == 0 and bounds[-1] == a.m
+    assert (np.diff(bounds) >= 0).all()
+    sh = shard_rows(a, 8, bounds=bounds)
+    assert sh.bounds == tuple(int(x) for x in bounds)
+    back = unshard(sh)
+    want, got = a.to_scipy(), back.to_scipy()
+    np.testing.assert_array_equal(got.indptr, want.indptr)
+    np.testing.assert_array_equal(got.indices, want.indices)
+    np.testing.assert_allclose(got.data, want.data)
+    # per-shard products within 2x of the mean (skewed input, 300 rows)
+    b_len = np.diff(np.asarray(a.rowptr))[: a.m]
+    prod_row = np.zeros(a.m, np.int64)
+    nnz = int(np.asarray(a.rowptr)[-1])
+    rows = np.repeat(np.arange(a.m), b_len)
+    np.add.at(prod_row, rows,
+              b_len[np.asarray(a.colidx)[:nnz]])
+    per = np.add.reduceat(prod_row, bounds[:-1].astype(np.int64).clip(0, a.m - 1))
+    assert per.max() <= max(2.0 * per.mean(), prod_row.max())
+
+
+def test_dist_balanced_partition_all_schedules(eight_devices):
+    """All three schedules stay correct under product-balanced bounds."""
+    from benchmark_spgemm_using_csr_tpu.parallel import dist as D
+    from benchmark_spgemm_using_csr_tpu.parallel.halo import (
+        build_halo_plan, dist_spgemm_halo,
+    )
+
+    mesh = make_mesh(8)
+    a = CSR.from_scipy(
+        generators.power_law(300, 300, alpha=1.8, max_deg=128, seed=6)
+    )
+    want = spgemm_reference(a, a)
+    bounds = D.balanced_row_bounds(a, a, 8)
+
+    a_sh = D.shard_rows(a, 8, bounds=bounds)
+    lp = D.make_dist_local_plan(a, a, 8, bounds=bounds)
+    c = unshard(D.dist_spgemm_replicated(a_sh, a, mesh, plan=lp))
+    assert_csr_equal(c, want, rtol=1e-4, atol=1e-5)
+
+    b_sh = D.shard_rows(a, 8)
+    rplan = D.make_ring_plan(a, a, 8, bounds=bounds)
+    c = unshard(D.dist_spgemm_ring(
+        a_sh, b_sh, a.rowptr, mesh, axis="rows", ring_plan=rplan
+    ))
+    assert_csr_equal(c, want, rtol=1e-4, atol=1e-5)
+
+    hplan = build_halo_plan(a, a, 8, bounds=bounds)
+    c = unshard(dist_spgemm_halo(hplan, b_sh, mesh))
+    assert_csr_equal(c, want, rtol=1e-4, atol=1e-5)
+
+
 def test_dist_two_devices(eight_devices):
     mesh = make_mesh(2)
     a = random_csr(64, 64, density=0.1, seed=7)
