@@ -483,6 +483,26 @@ def main() -> None:
                            a.shape),),
             k1=K_ITERS, name=name, flops=flops,
         )
+        sol_pair = 0.0
+        try:
+            from benchmark_spgemm_using_csr_tpu.utils.roofline import (
+                chunked_stage_models as _csm,
+                grouped_stage_models as _gsm,
+                roofline_report as _rr,
+                tilepack_stage_models as _tsm,
+            )
+
+            nnz_a_p = int(np.asarray(a.rowptr)[-1])
+            nnz_b_p = int(np.asarray(b.rowptr)[-1])
+            mdl = {"grouped": _gsm, "tilepack": _tsm, "chunked": _csm}[meth]
+            models_p = mdl(
+                sched_p.plan if meth in ("grouped", "tilepack") else plan_p,
+                nnz_a=nnz_a_p, nnz_b=nnz_b_p, m=a.m, nnz_c=nnz_c,
+            )
+            sol_pair = _rr(models_p, total_time_s=dres.per_s)[
+                "_total"]["sol_fraction"]
+        except Exception as e:  # pragma: no cover
+            print(f"pair roofline failed: {e!r}", file=sys.stderr)
         per_matrix[name] = {
             "gflops": flops / dres.per_s / 1e9,
             "device_s": dres.per_s,
@@ -492,7 +512,7 @@ def main() -> None:
             "method": meth,
             "k2_delta": dres.k2,
             "spread": round(dres.spread, 4),
-            "sol_fraction": 0.0,  # pair stage models not priced yet
+            "sol_fraction": round(float(sol_pair), 4),
         }
         write_result(
             "results.jsonl",

@@ -270,7 +270,15 @@ def estimate_hash_s(
     approaches the sort paths at extreme duplicate ratios (F >> m*n) where
     the BSR/MXU path has long since taken over — the reference's
     shared-memory hash method has no winning TPU regime, but the dispatcher
-    can now prove that per matrix instead of ignoring the method."""
+    can now prove that per matrix instead of ignoring the method.
+
+    Round-4 adversarial sweep (scripts/sweep_hash_adversarial.py,
+    results.jsonl hash_sweep rows, 2026-08-20): on the family hash was
+    built for — F >> m*n with dense/BSR infeasible (m=32k, n swept
+    2048/512/128, dup ratios 1.0/3.8/12.6, ~53-66M products) — the
+    host-orchestrated hash path measured 20.5-22.4 s wall vs grouped's
+    171-279 ms device: 75-120x SLOWER, the gap WIDENING with duplicate
+    ratio. The claim is now a recorded measurement, not an argument."""
     b = a if b is None else b
     rowptr, nnz, _, _, products = _stats(a, b)
     if not nnz:

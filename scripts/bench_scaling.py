@@ -93,7 +93,9 @@ def main():
                 tag = f"{cname}/{schedule}/{part}"
                 print(f"\n--- {tag}: exec-only timing ---")
                 t1 = None
-                for n in sizes:
+                # balanced variant: N=8 parity focus only (each (N, plan)
+                # pair is a fresh shard_map compile on the one host core)
+                for n in (sizes if part == "uniform" else sizes[-1:]):
                     bnds = (
                         None if part == "uniform"
                         else dist.balanced_row_bounds(a, a, n)

@@ -68,3 +68,20 @@ def test_fem_irregular_destroys_diagonal_structure():
 
     a = CSR.from_scipy(generators.fem_irregular(10, dof=3, seed=1))
     assert dispatch.estimate_dia_s(a, a) == float("inf")
+
+
+def test_pattern_mtx_roundtrip_and_hub_rows():
+    """Round-4 suite points: the pattern-mtx writer/reader round-trip
+    synthesizes unit values with the exact structure, and hub_rows carries
+    an explicit heavy-row band."""
+    m = generators.pattern_mtx_roundtrip(512, seed=3)
+    ref = generators.circuit(512, seed=3)
+    assert m.shape == ref.shape and m.nnz == ref.nnz
+    np.testing.assert_array_equal(m.indices, ref.indices)
+    np.testing.assert_array_equal(m.indptr, ref.indptr)
+    assert (m.data == 1.0).all()  # values synthesized
+
+    h = generators.hub_rows(2048, 2048, max_deg=512, n_hubs=4, seed=1)
+    lens = np.diff(h.indptr)
+    assert (lens >= 400).sum() >= 4  # the hub band exists
+    assert np.percentile(lens, 50) < 64  # body stays power-law-short
