@@ -539,13 +539,20 @@ def main() -> None:
             # as_scipy=None: C lands on device when it fits HBM — forcing a
             # host copy added ~80 s of axon-tunnel D2H to the measurement
             c = spgemm_batched(a_i, a_i, as_scipy=None)
-            import jax as _jax
-
-            c = _jax.block_until_ready(c) if not hasattr(c, "nnz") else c
+            if isinstance(c, CSR):
+                # VALUE fetch, not block_until_ready: the tunnel defers
+                # dispatches without executing (CLAUDE.md trap). ROUND-4
+                # CORRECTION: the old guard was `hasattr(c, "nnz")` —
+                # but CSR has an .nnz property too, so the device path
+                # NEVER synced and rounds 2-3 recorded only the
+                # dispatch-ISSUE cost (~4 x 26 ms ≈ the whole 21.8-23.2
+                # GF "wall") while the real MXU work ran deferred after
+                # the timer stopped. This fetch makes the wall honest.
+                float(np.asarray(c.vals[:1])[0])
             walls.append(_time.perf_counter() - t0)
-            nnz_c = int(c.nnz) if hasattr(c, "nnz") else int(
-                np.asarray(c.rowptr)[-1]
-            )
+            nnz_c = int(np.asarray(c.rowptr)[-1]) if isinstance(
+                c, CSR
+            ) else int(c.nnz)
         wall = min(walls[1:])  # exclude the compile run
         # OOC roofline (VERDICT r3 next #7): price the batched plan's
         # per-block dense-MXU stages + one-pass assembly against the wall

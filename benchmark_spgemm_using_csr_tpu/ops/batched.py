@@ -356,11 +356,88 @@ def _cached_plan(a: CSR, b: CSR, stream_budget, method) -> BatchedPlan:
     return plan
 
 
+_total_cache: dict = {}
+
+
+def _cached_total(a: CSR, b: CSR) -> int:
+    """Intermediate-product total, memoized on structure buffer ids: the
+    per-call jit(nnz_upper_bound) dispatch cost a full ~26 ms axon round
+    trip on every OOC invocation (round 4 — part of the 0.72x-of-in-core
+    gap)."""
+    key = (id(a.rowptr), id(a.colidx), id(b.rowptr), id(b.colidx))
+    hit = _total_cache.get(key)
+    if hit is not None:
+        return hit[0]
+    total = int(np.asarray(jax.jit(nnz_upper_bound)(a, b)).sum())
+    if len(_total_cache) >= 8:
+        _total_cache.pop(next(iter(_total_cache)))
+    _total_cache[key] = (total, (a.rowptr, a.colidx, b.rowptr, b.colidx))
+    return total
+
+
 @jax.jit
 def _dense_b(b: CSR):
     from .dense import csr_to_dense
 
     return csr_to_dense(b)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "rows_cap", "nnz_cap", "kdim", "mode", "disp_bits", "sizes", "cap"
+    ),
+)
+def _dense_blocks_fused(
+    a_vals, b, slice0, rows_e, cols_e, p1, p2, *,
+    rows_cap, nnz_cap, kdim, mode, disp_bits, sizes, cap,
+):
+    """ALL dense blocks + B densify + assembly in ONE dispatch (round 4):
+    the per-block multi-dispatch form paid the ~26 ms axon round trip 4+
+    times per call — measured 72% of in-core throughput on
+    dense_rows_8k_ooc, almost entirely dispatch floors. Usable whenever
+    C fits HBM (the multi-dispatch path remains for true out-of-core) and
+    every block shares one extraction mode.
+
+    xs are stacked (nb, ...) block arrays; sizes are the static per-block
+    exact nnz_c for the in-jit assembly concatenation.
+    """
+    from .chunked import _shift_compact
+    from .dense import csr_to_dense
+
+    db = csr_to_dense(b)
+    vals_pad = jnp.concatenate(
+        [a_vals, jnp.zeros(nnz_cap, a_vals.dtype)]
+    )
+
+    def body(_, xs):
+        s0, re_i, ce_i, p1_i, p2_i = xs
+        v = jax.lax.dynamic_slice(vals_pad, (s0,), (nnz_cap,))
+        da = jnp.zeros((rows_cap + 1, kdim), v.dtype)
+        da = da.at[re_i, ce_i].set(v, mode="drop")
+        cd = jnp.matmul(
+            da[:rows_cap], db, precision=jax.lax.Precision.HIGHEST
+        )
+        flat = cd.reshape(-1)
+        if mode == "full":
+            out = flat
+        elif mode == "shift":
+            (out,) = _shift_compact(p1_i, p2_i, [flat], disp_bits)
+        else:  # gather
+            guard = jnp.concatenate([flat, jnp.zeros(1, flat.dtype)])
+            out = guard[jnp.clip(p1_i, 0, flat.shape[0])]
+        return (), out
+
+    nb = slice0.shape[0]
+    (), outs = jax.lax.scan(
+        body, (), (slice0, rows_e, cols_e, p1, p2), length=nb
+    )
+    parts = [outs[i, : sizes[i]] for i in range(nb)]
+    vals = jnp.concatenate(parts)
+    pad = cap - vals.shape[0]
+    if pad > 0:
+        vals = jnp.concatenate([vals, jnp.zeros(pad, vals.dtype)])
+    return vals[:cap]
 
 
 def spgemm_batched(
@@ -378,8 +455,7 @@ def spgemm_batched(
     point of the out-of-core path is that C may not fit HBM)."""
     del k
     m, n = a.m, b.n
-    nnz_ct = np.asarray(jax.jit(nnz_upper_bound)(a, b))
-    total = int(nnz_ct.sum())
+    total = _cached_total(a, b)
     if total <= stream_budget:
         return spgemm_chunked(a, b, make_chunked_plan(a, b))
 
@@ -388,6 +464,53 @@ def spgemm_batched(
     itemsize = np.dtype(a.vals.dtype).itemsize
     if as_scipy is None:
         as_scipy = plan.nnz_c * (4 + itemsize) > (2 << 30)
+
+    # ---- fused single-dispatch fast path (round 4): when C fits HBM and
+    # every dense block shares one extraction mode, ALL blocks + B densify
+    # + assembly ride ONE jit (lax.scan over stacked block arrays) — the
+    # multi-dispatch form pays the ~26 ms axon round trip per dispatch and
+    # measured only 72% of in-core throughput on dense_rows_8k_ooc.
+    if plan.method == "dense" and not as_scipy:
+        modes = {mode for mode, _ in plan.flat_c}
+        per_out = (
+            plan.rows_cap * n
+            if modes <= {"full", "shift"} else plan.cap_c_u
+        )
+        scan_bytes = len(plan.blocks) * per_out * itemsize
+        if len(modes) == 1 and scan_bytes <= (1 << 30):
+            mode = next(iter(modes))
+            stk = getattr(plan, "_fused_stk", None)
+            if stk is None:
+                slice0 = jnp.asarray(np.asarray(plan.slice0, np.int32))
+                rows_e = jnp.stack(plan.blk_rows_e)
+                cols_e = jnp.stack(plan.blk_colidx)
+                if mode == "shift":
+                    p1 = jnp.stack([p[1][0] for p in plan.flat_c])
+                    p2 = jnp.stack([p[1][1] for p in plan.flat_c])
+                    disp_bits = max(p[1][2] for p in plan.flat_c)
+                elif mode == "gather":
+                    p1 = jnp.stack([p[1] for p in plan.flat_c])
+                    p2 = jnp.zeros((nb, 1), jnp.int32)
+                    disp_bits = 0
+                else:
+                    p1 = jnp.zeros((nb, 1), jnp.int32)
+                    p2 = jnp.zeros((nb, 1), jnp.int32)
+                    disp_bits = 0
+                stk = (slice0, rows_e, cols_e, p1, p2, disp_bits)
+                plan._fused_stk = stk
+            slice0, rows_e, cols_e, p1, p2, disp_bits = stk
+            vals = _dense_blocks_fused(
+                a.vals, b, slice0, rows_e, cols_e, p1, p2,
+                rows_cap=plan.rows_cap, nnz_cap=plan.nnz_cap, kdim=a.n,
+                mode=mode, disp_bits=disp_bits,
+                sizes=plan.nnz_c_blk, cap=plan.cap_c,
+            )
+            return CSR(
+                rowptr=plan.out_rowptr,
+                colidx=plan.out_colidx,
+                vals=vals,
+                shape=(m, n),
+            )
 
     # block values: static-bound slices of the device-resident full A,
     # padded so the last block's slice stays in bounds

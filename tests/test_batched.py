@@ -51,6 +51,30 @@ def test_batched_oversized_single_row():
     assert_csr_equal(c, spgemm_reference(a, a), rtol=1e-4, atol=1e-5)
 
 
+def test_batched_fused_single_dispatch_dense():
+    """Round-4 fused fast path: when C fits HBM and blocks share one
+    extraction mode, all dense blocks + B densify + assembly ride ONE jit
+    (lax.scan) — covers 'gather' (sparse C) and 'shift'/'full'
+    (near-dense C, pow2 rows so padding holes stay small)."""
+    from benchmark_spgemm_using_csr_tpu.ops import batched
+
+    # sparse-C / gather mode, multi-block
+    a = CSR.from_scipy(generators.erdos_renyi(128, 128, 6.0, seed=2))
+    c = spgemm_batched(a, a, stream_budget=2_000, method="dense",
+                       as_scipy=False)
+    assert_csr_equal(c, spgemm_reference(a, a), rtol=1e-3, atol=1e-3)
+    plan = batched._cached_plan(a, a, 2_000, "dense")
+    assert hasattr(plan, "_fused_stk")  # the fused branch actually ran
+
+    # near-dense C at pow2 rows: full/shift extraction modes
+    d = CSR.from_scipy(
+        generators.dense_rows(128, 128, nnz_per_row=96, seed=7)
+    )
+    c2 = spgemm_batched(d, d, stream_budget=100_000, method="dense",
+                        as_scipy=False)
+    assert_csr_equal(c2, spgemm_reference(d, d), rtol=1e-3, atol=1e-3)
+
+
 def test_batched_forced_dense_blocks():
     """Dense-MXU per-block path (r3 rebuild): forced method, multi-block,
     every extraction mode reachable (full / shift / gather)."""
