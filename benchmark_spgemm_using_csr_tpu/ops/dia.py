@@ -44,17 +44,31 @@ def dia_spgemm(a: DIA, b: DIA, fused: bool | None = None) -> DIA:
     232 -> 197 us); it loses at small n (poisson2d_256: kernel overheads
     dominate a ~25-85 us body) and the Mosaic compiler crashes outright
     at nd >= ~25 with bj >= 4096 (stencil27/banded — apparently the nd^2
-    live shifted windows blow VMEM inside the compiler). Default: OFF —
-    the XLA gather form stays the production path (110-130 GF on the
-    suite's diagonal members), and the roofline prices its irreducible
-    per-term re-read traffic honestly (utils/roofline.dia_stage_models).
+    live shifted windows blow VMEM inside the compiler). Default
+    (fused=None): AUTO — route to the kernel only inside its measured win
+    region (f32, nd_a·nd_b <= 81, n >= 2^18, shift span within a block,
+    TPU backend); everywhere else the XLA gather form stays the
+    production path (110-130 GF on the suite's diagonal members), and the
+    roofline prices its irreducible per-term re-read traffic honestly
+    (utils/roofline.dia_stage_models).
     """
     m, k = a.shape
     k2, n = b.shape
     if k != k2:
         raise ValueError(f"inner dims mismatch: {a.shape} @ {b.shape}")
     if fused is None:
-        fused = False
+        span = (
+            max(0, max(b.offsets, default=0))
+            + max(0, -min(b.offsets, default=0))
+        )
+        fused = (
+            len(a.offsets) * len(b.offsets) <= 81
+            and n >= (1 << 18)
+            and span <= 4096
+            and a.dtype == jnp.float32
+            and b.dtype == jnp.float32
+            and jax.default_backend() == "tpu"
+        )
     if fused:
         from .dia_pallas import dia_spgemm_fused
 
