@@ -57,7 +57,9 @@ def _bin_numeric(a: CSR, b: CSR, rows, nnz_ct, prodstart, *, width: int):
     _, col, val = gather_products(a, b, jnp.where(valid, g, 0), valid)
 
     col = jnp.where(valid, col, n)  # sentinel sorts to the end of each row
-    col, val = jax.lax.sort((col, val), dimension=1, num_keys=1)
+    col, val = jax.lax.sort(
+        (col, val), dimension=1, num_keys=1, is_stable=False
+    )
 
     valid_s = col < n
     prev = jnp.concatenate(

@@ -108,7 +108,7 @@ def bsr_spgemm(a: BSR, b: BSR, plan: BsrPlan) -> BSR:
 
     # --- 3. merge duplicates by (brow, bcol) — metadata sort only ----------
     key = jnp.where(pair_valid, brow * nb + bcol, mb * nb).astype(INDEX_DTYPE)
-    key_s, pid_s = jax.lax.sort((key, pid), num_keys=1)
+    key_s, pid_s = jax.lax.sort((key, pid), num_keys=1, is_stable=False)
     prev = jnp.concatenate([jnp.full((1,), -1, key_s.dtype), key_s[:-1]])
     is_head = (key_s != prev) & (key_s < mb * nb)
     uniq_s = jnp.cumsum(is_head.astype(INDEX_DTYPE)) - 1

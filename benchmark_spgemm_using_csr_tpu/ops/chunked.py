@@ -928,7 +928,7 @@ def merge_products(row, col, val, m: int, n: int, out_cap: int,
                 jnp.where(corner_mask, val, jnp.zeros((), val.dtype))
             )
             val = jnp.where(corner_mask, jnp.zeros((), val.dtype), val)
-        rc, val = jax.lax.sort((rc, val), num_keys=1)
+        rc, val = jax.lax.sort((rc, val), num_keys=1, is_stable=False)
         row_sorted = jnp.minimum(rc >> cbits, jnp.uint32(m)).astype(
             INDEX_DTYPE
         )
@@ -961,13 +961,13 @@ def merge_products(row, col, val, m: int, n: int, out_cap: int,
             else:
                 key = jnp.where(is_tail, uniq_pos, cap).astype(INDEX_DTYPE)
                 _, rc_c, val_c = jax.lax.sort(
-                    (key, rc, run_val), num_keys=1
+                    (key, rc, run_val), num_keys=1, is_stable=False
                 )
             n_uniq = jnp.sum(is_tail.astype(INDEX_DTYPE))
             col_c = (rc_c & jnp.uint32((1 << cbits) - 1)).astype(INDEX_DTYPE)
     elif bits:
         rc = (row.astype(INDEX_DTYPE) << bits) | col.astype(INDEX_DTYPE)
-        rc, val = jax.lax.sort((rc, val), num_keys=1)
+        rc, val = jax.lax.sort((rc, val), num_keys=1, is_stable=False)
         valid = rc < (m << bits)
         row_sorted = jnp.minimum(rc >> bits, m)
         if compact == "scan":
@@ -998,13 +998,15 @@ def merge_products(row, col, val, m: int, n: int, out_cap: int,
             else:
                 key = jnp.where(is_tail, uniq_pos, cap).astype(INDEX_DTYPE)
                 _, rc_c, val_c = jax.lax.sort(
-                    (key, rc, run_val), num_keys=1
+                    (key, rc, run_val), num_keys=1, is_stable=False
                 )
             n_uniq = jnp.sum(is_tail.astype(INDEX_DTYPE))
             col_c = rc_c & ((1 << bits) - 1)
     else:
         # stage 3: sort by (row, col); sentinel rows (m) sink to tail
-        row, col, val = jax.lax.sort((row, col, val), num_keys=2)
+        row, col, val = jax.lax.sort(
+            (row, col, val), num_keys=2, is_stable=False
+        )
         run_val = _segmented_runsum(row, col, val, max_run)
         valid = row < m
         next_row = jnp.concatenate([row[1:], jnp.full((1,), -1, row.dtype)])
@@ -1020,7 +1022,9 @@ def merge_products(row, col, val, m: int, n: int, out_cap: int,
             col_c, val_c = _shift_compact(is_tail, disp, [col, run_val], disp_bits)
         else:
             key = jnp.where(is_tail, uniq_pos, cap).astype(INDEX_DTYPE)
-            _, col_c, val_c = jax.lax.sort((key, col, run_val), num_keys=1)
+            _, col_c, val_c = jax.lax.sort(
+                (key, col, run_val), num_keys=1, is_stable=False
+            )
         n_uniq = jnp.sum(is_tail.astype(INDEX_DTYPE))
 
     out_col = col_c[:out_cap].astype(INDEX_DTYPE)

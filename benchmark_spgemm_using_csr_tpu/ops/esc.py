@@ -68,7 +68,9 @@ def sort_compress(row, col, val, m: int, out_capacity: int, val_dtype=None):
     """Stage-3b/4: sort products by (row, col), merge duplicates, emit CSR
     arrays. Returns (rowptr, out_col, out_val)."""
     val_dtype = val_dtype or val.dtype
-    row, col, val = jax.lax.sort((row, col, val), num_keys=2)
+    row, col, val = jax.lax.sort(
+        (row, col, val), num_keys=2, is_stable=False
+    )
     valid = row < m
     prev_row = jnp.concatenate([jnp.full((1,), -1, row.dtype), row[:-1]])
     prev_col = jnp.concatenate([jnp.full((1,), -1, col.dtype), col[:-1]])

@@ -594,7 +594,7 @@ def _spgemm_grouped(
         hi2 = vb[..., 0].reshape(plan.g_cap, W)
         lo2 = vb[..., 1].reshape(plan.g_cap, W)
         okey, ohi, olo = jax.lax.sort(
-            (key2, hi2, lo2), dimension=1, num_keys=1
+            (key2, hi2, lo2), dimension=1, num_keys=1, is_stable=False
         )
         okey = okey.reshape(-1)
         oval = _v_from(
@@ -602,7 +602,13 @@ def _spgemm_grouped(
         )
     else:
         val2 = valm.reshape(plan.g_cap, W)
-        okey, oval = jax.lax.sort((key2, val2), dimension=1, num_keys=1)
+        # is_stable=False: XLA's stable TPU sort costs ~35% more (62.4 vs
+        # 39.8 ms at scircuit's (352, 131072), scripts/micro_sortstable.py
+        # 2026-08-21); duplicates are merged by SUM so tie order among
+        # equal keys is irrelevant, and pad slots all carry one sentinel.
+        okey, oval = jax.lax.sort(
+            (key2, val2), dimension=1, num_keys=1, is_stable=False
+        )
         okey = okey.reshape(-1)
         oval = oval.reshape(-1)
 

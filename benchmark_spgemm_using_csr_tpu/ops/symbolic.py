@@ -58,7 +58,7 @@ def nnz_exact(a: CSR, b: CSR, prod_capacity: int) -> jax.Array:
     valid = p < total
     src_c, col, _ = gather_products(a, b, jnp.where(valid, p, 0), valid)
     row = jnp.where(valid, a.row_ids()[src_c], m).astype(INDEX_DTYPE)
-    row, col = jax.lax.sort((row, col), num_keys=2)
+    row, col = jax.lax.sort((row, col), num_keys=2, is_stable=False)
     prev_row = jnp.concatenate([jnp.full((1,), -1, row.dtype), row[:-1]])
     prev_col = jnp.concatenate([jnp.full((1,), -1, col.dtype), col[:-1]])
     is_head = (row < m) & ((row != prev_row) | (col != prev_col))

@@ -375,7 +375,9 @@ def coo_to_csr(coo: COO, sort: bool = True, sum_duplicates: bool = False) -> CSR
     m, n = coo.shape
     row, col, vals = coo.row, coo.col, coo.vals
     if sort:
-        row, col, vals = jax.lax.sort((row, col, vals), num_keys=2)
+        row, col, vals = jax.lax.sort(
+            (row, col, vals), num_keys=2, is_stable=False
+        )
     if sum_duplicates:
         valid = row < m
         prev_row = jnp.concatenate([jnp.full((1,), -1, row.dtype), row[:-1]])
