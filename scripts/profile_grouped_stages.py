@@ -154,7 +154,9 @@ def _prefix(a, b, sched, stage: str):
 
     key2 = key.reshape(plan.g_cap, W)
     val2 = valm.reshape(plan.g_cap, W)
-    okey, oval = jax.lax.sort((key2, val2), dimension=1, num_keys=1)
+    okey, oval = jax.lax.sort(
+        (key2, val2), dimension=1, num_keys=1, is_stable=False
+    )
     okey = okey.reshape(-1)
     oval = oval.reshape(-1)
     if stage == "sort":
