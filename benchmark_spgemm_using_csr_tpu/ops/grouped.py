@@ -585,6 +585,13 @@ def _spgemm_grouped(
     valm = jnp.where(lv, val, jnp.zeros((), val.dtype))
 
     key2 = key.reshape(plan.g_cap, W)
+    # NOTE (2026-08-21): the in-pipeline sort costs ~1.7x the identical
+    # materialized-operand sort (68.2 vs 39.8 ms at scircuit's
+    # (352, 131072)) — XLA fuses the expansion into the sort's passes.
+    # Pinning the operands with optimization_barrier here HANGS the axon
+    # remote compile (>1 h, no result; the same barrier before the scan
+    # tail in ops/scancompact compiles fine) — do not re-attempt without
+    # a compiler fix; see CLAUDE.md.
 
     # ---- ONE 2D sort: every group independently, log2(W)^2/2 depth ------
     if dd:
