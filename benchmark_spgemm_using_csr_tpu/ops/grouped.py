@@ -585,13 +585,14 @@ def _spgemm_grouped(
     valm = jnp.where(lv, val, jnp.zeros((), val.dtype))
 
     key2 = key.reshape(plan.g_cap, W)
-    # NOTE (2026-08-21): the in-pipeline sort costs ~1.7x the identical
-    # materialized-operand sort (68.2 vs 39.8 ms at scircuit's
-    # (352, 131072)) — XLA fuses the expansion into the sort's passes.
-    # Pinning the operands with optimization_barrier here HANGS the axon
-    # remote compile (>1 h, no result; the same barrier before the scan
-    # tail in ops/scancompact compiles fine) — do not re-attempt without
-    # a compiler fix; see CLAUDE.md.
+    # Sort-cost note (2026-08-21): the in-pipeline sort's stage delta
+    # reads ~1.7x the identical materialized-operand micro (68.2 vs
+    # 39.8 ms at scircuit's (352, 131072)). Producer re-fusion was ruled
+    # OUT by measurement: materializing the operands through a
+    # pass-through lax.scan changed nothing (scircuit 0.3835 vs 0.3837
+    # GF), and an optimization_barrier pin HANGS the axon remote compile
+    # (CLAUDE.md hazard). The excess is intrinsic / stage-attribution
+    # overlap — no lever here.
 
     # ---- ONE 2D sort: every group independently, log2(W)^2/2 depth ------
     if dd:
