@@ -19,10 +19,11 @@ block, so each plane crosses HBM exactly once:
   the resident B planes (the shifts cost Mosaic lane rotations — VPU work,
   not HBM).
 
-Dispatch: OPT-IN ONLY — ops/dia.dia_spgemm takes ``fused=True`` to route
-here, and hard-defaults fused=False: measured on-chip the kernel only wins
-on large-n few-diagonal shapes (mc2depi 232→197 us) and loses or crashes
-the Mosaic compile helper elsewhere (see dia.py's default-OFF verdict).
+Dispatch: ops/dia.dia_spgemm(fused=None) AUTO-routes here only inside the
+measured win region (large-n few-diagonal shapes — mc2depi 232→197 us; see
+dia.py:59-70 for the exact gate); everywhere else the kernel loses or
+crashes the Mosaic compile helper, so the gate stays conservative and
+``fused=True`` remains available to force it.
 The XLA gather form is the production path; this kernel is kept for the
 mc2depi-like regime and as the interpret-mode oracle target
 (tests/test_dia_pallas.py).

@@ -22,6 +22,14 @@ register-local pass work, vs ~23 full-stream memory passes. Correctness
 for runs straddling any number of blocks is carried via (last key, last
 group, running sum); group boundaries break chains exactly like the
 production path (runs never straddle groups).
+
+Block size (swept on-chip 2026-08-21, scripts/micro_scanblock.py, both
+48M- and 9.4M-slot scircuit-shaped streams): per-slot cost falls
+monotonically from 16Ki to the knee at 256Ki (0.98 → 0.563 ns/slot at
+48M; 0.788 → 0.647 at 9.4M) — scan-iteration overhead (carry plumbing +
+the two dynamic_update_slice appends) dominates the extra log2(B)
+local passes — then REGRESSES 1.7-2.2x at 512Ki/1Mi (per-pass
+temporaries spill VMEM). Default 262144.
 """
 from __future__ import annotations
 
@@ -82,7 +90,7 @@ def _local_compact(kept, disp, arrays, bits):
     jax.jit, static_argnames=("w", "out_cap", "max_run", "block")
 )
 def runsum_compact_scan(
-    okey, oval, *, w: int, out_cap: int, max_run: int, block: int = 65536
+    okey, oval, *, w: int, out_cap: int, max_run: int, block: int = 262144
 ):
     """(keyc[out_cap], valc[out_cap], tails_cum[S]) from the sorted grouped
     stream — drop-in for the production runsum + compaction + tails path.

@@ -27,7 +27,7 @@ def test_fused_producer_large_nonaligned_groups():
     import jax.numpy as jnp
 
     rng = np.random.default_rng(7)
-    w = 131040  # NOT a multiple of the 65536 scan block
+    w = 131040  # NOT a multiple of the scan block (65536 or 262144)
     g = 72  # s = 9.43M > 2^23
     key2 = np.full((g, w), SENTINEL_U32, np.uint32)
     for gi in range(16):
