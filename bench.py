@@ -29,6 +29,25 @@ reported alongside in results.jsonl.
 vs_baseline: no numbers could be extracted from the reference (BASELINE.md:
 "published": {}); we normalize against 1.0 GFlops — the order-of-magnitude
 center of the JPDC15 GTX-Titan-era results — so vs_baseline == value.
+
+Delivery robustness (round 5 — VERDICT r4 #1: round 4's completed suite
+produced a NULL official capture because this file buffered everything to
+one end-of-run print and the driver's timeout killed it first):
+
+- The headline line is emitted by a SIGTERM/SIGINT/SIGALRM handler too —
+  a killed run flushes a ``"partial": true`` headline from whatever points
+  have completed (round 4's rc=124 would have captured 20/20 points).
+- ``BENCH_BUDGET_S=<seconds>``: a soft wall-clock budget. Sets an alarm
+  at budget−45 s (flush margin), trims per-point repeats (3 → 2 → 1 as
+  elapsed crosses 50% / 75% of budget), and skips the non-scored extras
+  (ooc / f64 / RAP — they only feed results.jsonl + detail) when less
+  than 15% of budget remains. The scored suite is never trimmed in
+  membership, only in repeats.
+- After every completed point the would-be headline is snapshotted to
+  ``.bench_partial.json`` (gitignored) — recoverable even after SIGKILL.
+- Observed full-run wall on this host: ~26-30 min warm (the old "35 s"
+  note measured a 7-point suite in 2026-08-16; fem DIA points alone run
+  minutes). Budget accordingly.
 """
 from __future__ import annotations
 
@@ -78,6 +97,105 @@ def main() -> None:
     from benchmark_spgemm_using_csr_tpu.utils.timing import bench_delta_stats
     from benchmark_spgemm_using_csr_tpu.utils.results import write_result
 
+    # ---- delivery robustness state (module docstring, round 5) ----
+    import os as _os
+    import signal as _signal
+    import time as _time
+
+    t_start = _time.perf_counter()
+    budget_s = float(_os.environ.get("BENCH_BUDGET_S", "0") or 0.0)
+    per_matrix: dict = {}
+    f64_detail: dict = {}
+    rap_detail: dict = {}
+    _emitted = [False]
+
+    def _elapsed() -> float:
+        return _time.perf_counter() - t_start
+
+    def _runs_now() -> int:
+        """Repeat count under budget pressure: 3 (median) normally, 2 past
+        half budget, 1 past three-quarters — membership is never trimmed."""
+        if not budget_s:
+            return 3
+        frac = _elapsed() / budget_s
+        return 3 if frac < 0.5 else (2 if frac < 0.75 else 1)
+
+    def _budget_left(frac: float = 0.85) -> bool:
+        """True while elapsed < frac x budget (always True without one)."""
+        return (not budget_s) or _elapsed() < frac * budget_s
+
+    def _headline_json(partial: bool = False) -> str:
+        scored = {
+            k: v for k, v in per_matrix.items() if not k.endswith("_ooc")
+        }
+        if scored:
+            gmean = float(np.exp(np.mean(
+                [np.log(max(v["gflops"], 1e-12)) for v in scored.values()]
+            )))
+        else:
+            gmean = 0.0
+        r1_names = ["er_medium", "powerlaw_medium", "poisson2d_256",
+                    "banded_16k", "stencil27_32", "circuit_64k",
+                    "dense_rows_2k"]
+        r2_names = r1_names + ["webbase_1m", "econ_206k", "mc2depi_524k",
+                               "scircuit_256k", "dense_rows_8k"]
+
+        def _basis(names):
+            vals = [np.log(per_matrix[k]["gflops"])
+                    for k in names if k in per_matrix]
+            return float(np.exp(np.mean(vals))) if vals else 0.0
+
+        detail = {
+            **{k: round(v["gflops"], 4) for k, v in per_matrix.items()},
+            **f64_detail,
+            **rap_detail,
+            "n_scored": len(scored),
+            "spread_max": round(
+                max((v.get("spread", 0.0)
+                     for v in per_matrix.values()), default=0.0), 4
+            ),
+            # earlier-round suite-basis gmeans for cross-round continuity
+            # (each round widened the suite, so headline gmeans across
+            # rounds only compare on a fixed basis)
+            "gmean_r1suite": round(_basis(r1_names), 4),
+            "gmean_r2suite": round(_basis(r2_names), 4),
+        }
+        if partial:
+            detail["partial"] = True
+            detail["elapsed_s"] = round(_elapsed(), 1)
+        return json.dumps({
+            "metric": "spgemm_gflops_gmean_1chip",
+            "value": round(gmean, 4),
+            "unit": "GFlops",
+            "vs_baseline": round(gmean / 1.0, 4),
+            "detail": detail,
+        })
+
+    def _emit(partial: bool = False) -> None:
+        if _emitted[0]:
+            return
+        _emitted[0] = True
+        # raw fd write: a signal handler must not trip over Python-level
+        # stdout buffering/locks mid-print
+        _os.write(1, (_headline_json(partial) + "\n").encode())
+
+    def _snapshot() -> None:
+        """Per-point crash insurance (SIGKILL leaves no handler)."""
+        try:
+            with open(".bench_partial.json", "w") as f:
+                f.write(_headline_json(partial=True) + "\n")
+        except OSError:
+            pass
+
+    def _flush_handler(signum, frame):  # pragma: no cover - signal path
+        _emit(partial=True)
+        _os._exit(0 if signum == _signal.SIGALRM else 128 + signum)
+
+    for _sig in (_signal.SIGTERM, _signal.SIGINT, _signal.SIGALRM):
+        _signal.signal(_sig, _flush_handler)
+    if budget_s:
+        _signal.alarm(int(max(60.0, budget_s - 45.0)))
+
     suite = {
         "er_medium": generators.SUITE["er_medium"],
         "powerlaw_medium": generators.SUITE["powerlaw_medium"],
@@ -117,8 +235,6 @@ def main() -> None:
     # BENCH_ONLY=name1,name2 scopes a debug run to named points (suite
     # members, 'er_small_f64', 'rap_poisson2d_256', '*_ooc'); the headline
     # gmean is only meaningful on the full suite
-    import os as _os
-
     _only = _os.environ.get("BENCH_ONLY", "")
     _keep = set(filter(None, _only.split(",")))
     if _keep:
@@ -252,7 +368,6 @@ def main() -> None:
 
         return run
 
-    per_matrix = {}
     for name, factory in suite.items():
         a_sp = factory()
         a = CSR.from_scipy(a_sp)
@@ -345,7 +460,8 @@ def main() -> None:
         # the reported figure is the MEDIAN of >= 3 per-run estimates with
         # (max-min)/median spread recorded (VERDICT r2 weak #2)
         dres = bench_delta_stats(
-            kfac, vary, k1=K_ITERS, name=name, flops=flops
+            kfac, vary, k1=K_ITERS, name=name, flops=flops,
+            runs=_runs_now(),
         )
         device_s, k2 = dres.per_s, dres.k2
         if dres.unstable:
@@ -410,6 +526,7 @@ def main() -> None:
                         else f"C=A*A 1chip delta(K{k2},K{K_ITERS})"),
              **per_matrix[name]},
         )
+        _snapshot()
 
     # ---- rectangular A @ B pair points (round 4, VERDICT r3 next #6):
     # three distinct dims through the pair-aware dispatch; SCORED in the
@@ -481,7 +598,7 @@ def main() -> None:
             lambda i: (CSR(a.rowptr, a.colidx,
                            a.vals + jnp.asarray(1e-6 * i, a.vals.dtype),
                            a.shape),),
-            k1=K_ITERS, name=name, flops=flops,
+            k1=K_ITERS, name=name, flops=flops, runs=_runs_now(),
         )
         sol_pair = 0.0
         try:
@@ -520,11 +637,22 @@ def main() -> None:
              "config": f"C=A@B rectangular 1chip delta(K{dres.k2},K{K_ITERS})",
              **per_matrix[name]},
         )
+        _snapshot()
 
-    import time as _time
+    # ---- scored suite complete: everything below is non-scored extras
+    # (ooc wall / f64 mini-suite / RAP) that feed results.jsonl + detail
+    # only. Under a tight budget, emit the headline NOW and skip them —
+    # the official capture must never ride on the extras finishing
+    # (VERDICT r4 #1).
+    if not _budget_left(0.85):
+        print(f"budget: {_elapsed():.0f}s of {budget_s:.0f}s used — "
+              "emitting headline, skipping extras", file=sys.stderr)
+        _emit()
 
     from benchmark_spgemm_using_csr_tpu.ops.batched import spgemm_batched
 
+    if not _budget_left(0.85):
+        batched_suite = {}
     for name, factory in batched_suite.items():
         a = CSR.from_scipy(factory())
         flops = spgemm_flops(a, a)
@@ -603,7 +731,6 @@ def main() -> None:
     # ~2^-48/op — measured abs error <= 9e-14 on fem's 73-term rows).
     # Reported in `detail` with per-point f32-sibling ratios and an f64
     # mini-gmean; EXCLUDED from the f32 headline gmean.
-    f64_detail = {}
     f64_points = {
         "er_small_f64": ("grouped",
                          lambda: generators.erdos_renyi(4096, 4096, 8.0)),
@@ -618,6 +745,9 @@ def main() -> None:
         for name64, (meth64, fac64) in f64_points.items():
             if _keep and name64 not in _keep:
                 continue
+            if not _budget_left(0.9):
+                _emit()
+                break
             try:
                 a_sp64 = fac64().astype(np.float64)
                 rng64 = np.random.default_rng(0)
@@ -693,6 +823,7 @@ def main() -> None:
                     )
                 dres64 = bench_delta_stats(
                     kfac64, vary64, k1=K_ITERS, name=name64, flops=flops64,
+                    runs=_runs_now(),
                 )
                 f64_detail[name64] = round(
                     flops64 / dres64.per_s / 1e9, 4
@@ -724,9 +855,11 @@ def main() -> None:
     # cost-model-chosen among the CSR-native backends (format backends
     # would force a mid-chain conversion). Reported in `detail`; excluded
     # from the C=A·A gmean (different op).
-    rap_detail = {}
     try:
         if _keep and "rap_poisson2d_256" not in _keep:
+            raise _Skip
+        if not _budget_left(0.9):
+            _emit()
             raise _Skip
         from benchmark_spgemm_using_csr_tpu.models.amg import (
             aggregation_prolongator,
@@ -892,48 +1025,21 @@ def main() -> None:
     except Exception as e:  # pragma: no cover - report, don't sink the suite
         print(f"RAP point failed: {e!r}", file=sys.stderr)
 
-    scored = {
-        k: v for k, v in per_matrix.items() if not k.endswith("_ooc")
-    }
-    gmean = float(np.exp(np.mean([np.log(v["gflops"]) for v in scored.values()])))
-    r1_names = ["er_medium", "powerlaw_medium", "poisson2d_256", "banded_16k",
-                "stencil27_32", "circuit_64k", "dense_rows_2k"]
-    gmean_r1 = float(np.exp(np.mean(
-        [np.log(per_matrix[k]["gflops"]) for k in r1_names if k in per_matrix]
-    )))
-    # round-2 12-matrix basis (before the FEM family joined in round 3):
-    # cross-round comparability of the dispatcher-scored gmean
-    r2_names = r1_names + ["webbase_1m", "econ_206k", "mc2depi_524k",
-                           "scircuit_256k", "dense_rows_8k"]
-    gmean_r2 = float(np.exp(np.mean(
-        [np.log(per_matrix[k]["gflops"]) for k in r2_names if k in per_matrix]
-    )))
-    print(
-        json.dumps(
-            {
-                "metric": "spgemm_gflops_gmean_1chip",
-                "value": round(gmean, 4),
-                "unit": "GFlops",
-                "vs_baseline": round(gmean / 1.0, 4),
-                "detail": {
-                    **{k: round(v["gflops"], 4) for k, v in per_matrix.items()},
-                    **f64_detail,
-                    **rap_detail,
-                    "spread_max": round(
-                        max((v.get("spread", 0.0)
-                             for v in per_matrix.values()), default=0.0), 4
-                    ),
-                    # earlier-round suite-basis gmeans for cross-round
-                    # continuity (each round widened the suite — r2 added 5
-                    # reference-scale members, r3 added the 3-member FEM
-                    # family — so headline gmeans across rounds are only
-                    # comparable on a fixed basis)
-                    "gmean_r1suite": round(gmean_r1, 4),
-                    "gmean_r2suite": round(gmean_r2, 4),
-                },
-            }
-        )
+    # one official headline line (a no-op if the budget path or a signal
+    # already emitted — at most ONE line ever reaches stdout), plus a
+    # results.jsonl copy of the full headline for the record
+    _signal.alarm(0)
+    _emit()
+    write_result(
+        "results.jsonl",
+        {"matrix": "_headline", "config": "bench.py full run",
+         "headline": json.loads(_headline_json()),
+         "wall_s": round(_elapsed(), 1)},
     )
+    try:
+        _os.remove(".bench_partial.json")
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":
