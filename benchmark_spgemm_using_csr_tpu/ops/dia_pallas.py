@@ -21,7 +21,8 @@ block, so each plane crosses HBM exactly once:
 
 Dispatch: ops/dia.dia_spgemm(fused=None) AUTO-routes here only inside the
 measured win region (large-n few-diagonal shapes — mc2depi 232→197 us; see
-dia.py:59-70 for the exact gate); everywhere else the kernel loses or
+the ``fused is None`` gate in ops/dia.dia_spgemm for the exact
+conditions); everywhere else the kernel loses or
 crashes the Mosaic compile helper, so the gate stays conservative and
 ``fused=True`` remains available to force it.
 The XLA gather form is the production path; this kernel is kept for the

@@ -47,8 +47,11 @@ def make_stream(s_total, w, dup=0.03, pad=0.15, seed=0):
     base = np.sort(base, axis=1)
     ndup = int(fill * dup)
     idx = rng.integers(1, fill, size=(g, ndup))
-    for gi in range(min(g, 64)):
-        base[gi, idx[gi]] = base[gi, idx[gi] - 1]
+    # vectorized across ALL groups (advisor r4: the old min(g, 64) loop
+    # left ~83% of a 48M-slot stream's groups duplicate-free, under-
+    # representing run-sum/merge cost in a 'scircuit-shaped' stream)
+    rows = np.arange(g)[:, None]
+    base[rows, idx] = base[rows, idx - 1]
     keys[:, :fill] = np.sort(base, axis=1)
     vals = rng.standard_normal((g, w)).astype(np.float32)
     return jnp.asarray(keys.reshape(-1)), jnp.asarray(vals.reshape(-1)), g
@@ -68,23 +71,43 @@ def main():
     max_run = 4096
     print(f"S={s/1e6:.1f}M groups={g} W={w} blocks={blocks}", flush=True)
 
-    ref = None
+    # independent numpy oracle on a 4-group slice (advisor r4: checking
+    # block sizes against each other would pass a bug common to the
+    # shared scan body; tests/test_scancompact_fusion.py does the same
+    # for the fusion regression)
+    ks4 = np.asarray(okey[: 4 * w]).reshape(4, w)
+    vs4 = np.asarray(oval[: 4 * w]).reshape(4, w)
+    exp_k, exp_v, kept_all = [], [], []
+    for gi in range(4):
+        k, v = ks4[gi], vs4[gi].astype(np.float64)
+        last = np.empty(w, bool)
+        last[:-1] = k[:-1] != k[1:]
+        last[-1] = True
+        kept = last & (k != SENTINEL_U32)
+        new = np.empty(w, bool)
+        new[0] = True
+        new[1:] = ~(~last)[:-1]
+        rid = np.cumsum(new) - 1
+        sums = np.bincount(rid, weights=v)
+        exp_k.append(k[kept])
+        exp_v.append(sums[rid[kept]])
+        kept_all.append(kept)
+    exp_k = np.concatenate(exp_k)
+    exp_v = np.concatenate(exp_v)
+    exp_t = np.cumsum(np.concatenate(kept_all))
     for b in blocks:
-        # correctness cross-check across block sizes on a 4-group slice
         kc, vc, tc = runsum_compact_scan(
             okey[: 4 * w], oval[: 4 * w], w=w, out_cap=4 * w,
             max_run=max_run, block=b,
         )
         n = int(np.asarray(tc)[-1])
-        cur = (np.asarray(kc)[:n], np.asarray(vc)[:n], np.asarray(tc))
-        if ref is None:
-            ref = (n, cur)
-        else:
-            assert ref[0] == n, (b, ref[0], n)
-            np.testing.assert_array_equal(ref[1][0], cur[0])
-            np.testing.assert_allclose(ref[1][1], cur[1], rtol=2e-5)
-            np.testing.assert_array_equal(ref[1][2], cur[2])
-    print("cross-block correctness OK", flush=True)
+        assert n == exp_k.shape[0], (b, n, exp_k.shape[0])
+        np.testing.assert_array_equal(np.asarray(kc)[:n], exp_k)
+        np.testing.assert_allclose(
+            np.asarray(vc)[:n], exp_v, rtol=2e-5, atol=1e-5
+        )
+        np.testing.assert_array_equal(np.asarray(tc), exp_t)
+    print("oracle correctness OK (numpy, 4-group slice)", flush=True)
 
     results = {}
     for b in blocks:
