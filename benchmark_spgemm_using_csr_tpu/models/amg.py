@@ -78,12 +78,17 @@ def numeric_refresh(h: "AMGHierarchy", a_new: CSR) -> "AMGHierarchy":
     fine-grid structure — the production re-coarsening path (Jacobian
     refills on a fixed mesh, time-dependent coefficients).
 
-    Rides ops/reuse: each level's Galerkin product runs on a cached fused
-    triple-product plan (ONE gather + segmented-scan dispatch per level,
-    no sorts, no intermediate AP) — the cuSPARSE spgemm_reuse capability
+    Rides ops/aggrap when the level's P is a piecewise-constant
+    aggregation (this module's setup always is): R·A·P is then a
+    relabel-and-merge of A's entries with plan-constant keys — zero
+    arbitrary-index gathers, one small 2D sort (ops/aggrap docstring).
+    Otherwise falls back to the cached fused triple-product plan
+    (ops/reuse: ONE gather + segmented-scan dispatch per level, no
+    sorts, no intermediate AP) — the cuSPARSE spgemm_reuse capability
     the one-shot 4-stage pipeline lacks (VERDICT r3 next #5). Plans are
     cached on the hierarchy; the first refresh builds them.
     """
+    from ..ops.aggrap import make_aggrap_plan, rap_aggregation
     from ..ops.reuse import make_triple_plan, spgemm_triple
 
     if not hasattr(h, "_triple_plans"):
@@ -93,9 +98,15 @@ def numeric_refresh(h: "AMGHierarchy", a_new: CSR) -> "AMGHierarchy":
     for li in range(1, len(h.levels)):
         p, r = h.levels[li].p, h.levels[li].r
         if h._triple_plans[li] is None:
-            h._triple_plans[li] = make_triple_plan(r, cur, p)
-        sched = h._triple_plans[li]
-        if sched is not None:
+            asched = make_aggrap_plan(r, cur, p)
+            h._triple_plans[li] = (
+                ("agg", asched) if asched is not None
+                else ("triple", make_triple_plan(r, cur, p))
+            )
+        kind, sched = h._triple_plans[li]
+        if kind == "agg":
+            a_c = rap_aggregation(cur, sched)
+        elif sched is not None:
             a_c = spgemm_triple(r, cur, p, sched)
         else:  # triple stream too large: chain the two-stage products
             a_c = galerkin_product(cur, p, r)
