@@ -11,8 +11,12 @@ FLOPs where the hardware wants them — the MXU:
   2. one dense matmul (`precision=HIGHEST` to hold f32 golden tolerances,
      CLAUDE.md),
   3. extract C's values at the *static* structural positions computed at
-     plan time, via the same monotone log-shift compaction the chunked path
-     uses (ops/chunked._shift_compact) — bandwidth-bound, zero gathers.
+     plan time, via the fused ONE-PASS block-scan compaction
+     (ops/scancompact with plan-constant keys: flat slot index where
+     kept, sentinel where hole, max_run=1 so the run-merge is a no-op) —
+     ~2 stream passes instead of the log2(holes) ~ 22 shift passes the
+     round-3 _shift_compact tail paid (VERDICT r4 weak #4: the scan tail
+     was never ported to dense extraction).
 
 Unlike the BSR/DIA format paths, the output matches the scalar paths'
 structural semantics exactly: the plan's rowptr/colidx are the boolean
@@ -33,7 +37,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..sparse.csr import CSR, pad_bucket
-from .chunked import _shift_compact
 
 
 @jax.tree_util.register_dataclass
@@ -42,17 +45,17 @@ class DensePlan:
     """Static structural plan for the dense-MXU path.
 
     rowptr/colidx: C's structural CSR pattern (pattern product, host-built).
-    kept/disp: per dense-C-slot keep flag and left-displacement (number of
-    structural holes before the slot) feeding the shift compaction.
+    ckeys: per dense-C-slot uint32 compaction key — the flat slot index at
+    kept (structural) slots, the all-ones sentinel at holes — feeding the
+    one-pass scan compaction (4 B/slot, vs the 5 B/slot kept+disp pair the
+    shift tail carried).
     """
 
     rowptr: jax.Array
     colidx: jax.Array
-    kept: jax.Array
-    disp: jax.Array
+    ckeys: jax.Array
     nnz_c: int = dataclasses.field(metadata=dict(static=True))
     cap_c: int = dataclasses.field(metadata=dict(static=True))
-    disp_bits: int = dataclasses.field(metadata=dict(static=True))
     shape: tuple = dataclasses.field(metadata=dict(static=True))
 
 
@@ -72,16 +75,10 @@ def make_dense_plan(a: CSR, b: CSR) -> DensePlan:
     pat_c.sort_indices()
     m, n = pat_c.shape
     nnz_c = int(pat_c.nnz)
-    kept = np.zeros(m * n, np.bool_)
     rows = np.repeat(np.arange(m, dtype=np.int64), np.diff(pat_c.indptr))
     flat = rows * n + pat_c.indices.astype(np.int64)
-    kept[flat] = True
-    # displacement of each slot = holes before it; strictly increasing over
-    # kept slots -> _shift_compact's monotonicity precondition holds
-    holes_before = np.cumsum(~kept) - (~kept)
-    disp = holes_before.astype(np.int32)
-    n_holes = int(m * n - nnz_c)
-    disp_bits = max(int(n_holes).bit_length(), 1)
+    ckeys = np.full(m * n, np.uint32(0xFFFFFFFF), np.uint32)
+    ckeys[flat] = flat.astype(np.uint32)  # m*n < 2^32 gated by dispatch
     cap_c = pad_bucket(nnz_c)
     rowptr = jnp.asarray(pat_c.indptr.astype(np.int32))
     colidx = np.zeros(cap_c, np.int32)
@@ -89,11 +86,9 @@ def make_dense_plan(a: CSR, b: CSR) -> DensePlan:
     return DensePlan(
         rowptr=rowptr,
         colidx=jnp.asarray(colidx),
-        kept=jnp.asarray(kept),
-        disp=jnp.asarray(disp),
+        ckeys=jnp.asarray(ckeys),
         nnz_c=nnz_c,
         cap_c=cap_c,
-        disp_bits=disp_bits,
         shape=(m, n),
     )
 
@@ -118,8 +113,13 @@ def spgemm_dense(a: CSR, b: CSR, plan: DensePlan) -> CSR:
     cd = jnp.matmul(da, db, precision=jax.lax.Precision.HIGHEST)
     vals = cd.reshape(-1)
     if plan.nnz_c < vals.shape[0]:
-        (vals,) = _shift_compact(
-            plan.kept, plan.disp, [vals], plan.disp_bits
+        from .scancompact import runsum_compact_scan
+
+        # one-pass scan compaction on plan-constant keys; max_run=1 makes
+        # the segmented run-sum a structural no-op (all runs singleton)
+        _, vals, _ = runsum_compact_scan(
+            plan.ckeys, vals, w=vals.shape[0], out_cap=plan.cap_c,
+            max_run=1,
         )
     pad = plan.cap_c - vals.shape[0]
     if pad > 0:

@@ -365,7 +365,6 @@ def dense_stage_models(
 ) -> dict[str, StageModel]:
     """Dense-MXU SpGEMM (ops/dense.py): scatter A into a dense (m,k), full
     matmul at f32-HIGHEST, extract the nnz_c structural entries."""
-    log_holes = max(int(np.ceil(np.log2(max(m * n - nnz_c, 2)))), 1)
     return {
         "scatter_in": StageModel(
             "scatter_in",
@@ -384,8 +383,10 @@ def dense_stage_models(
         ),
         "extract": StageModel(
             "extract",
-            bytes_moved=log_holes * m * n * itemsize
-            + nnz_c * (4 + itemsize),
+            # one-pass scan compaction: read (const key + value) per slot,
+            # write the compacted entries (round 5; was log2(holes) shift
+            # passes)
+            bytes_moved=m * n * (4 + itemsize) + nnz_c * itemsize,
             flops=0.0,
         ),
     }
@@ -404,11 +405,12 @@ def batched_dense_stage_models(
         bytes_blocks += plan.rows_cap * kdim * itemsize  # A block write+read
         bytes_blocks += plan.rows_cap * n * itemsize  # C block write
         mode = plan.flat_c[i][0] if plan.flat_c else "gather"
-        if mode == "shift":
-            disp_bits = plan.flat_c[i][1][2]
+        if mode == "scan":
+            # one-pass key+value read + compacted write (round 5)
             bytes_blocks += (
-                disp_bits * plan.rows_cap * n * 2 * itemsize
-            )  # log(holes) shift passes
+                plan.rows_cap * n * (4 + itemsize)
+                + plan.nnz_c_blk[i] * itemsize
+            )
         elif mode == "gather":
             bytes_blocks += plan.nnz_c_blk[i] * 2 * itemsize
     desc = float(nnz_a)  # densify scatters
