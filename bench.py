@@ -231,6 +231,11 @@ def main() -> None:
         "pattern_circuit_64k": generators.SUITE["pattern_circuit_64k"],
         "hubrows_32k": generators.SUITE["hubrows_32k"],
         "fem_46k": generators.SUITE["fem_46k"],
+        # round-5 breadth (VERDICT r4 missing #2): road-network ultra-
+        # short rows, small-world graph, consph-scale second FEM density
+        "road_1m": generators.SUITE["road_1m"],
+        "smallworld_400k": generators.SUITE["smallworld_400k"],
+        "consph_83k": generators.SUITE["consph_83k"],
     }
     # BENCH_ONLY=name1,name2 scopes a debug run to named points (suite
     # members, 'er_small_f64', 'rap_poisson2d_256', '*_ooc'); the headline
@@ -739,6 +744,12 @@ def main() -> None:
         "fem_17k_f64": ("dia", lambda: generators.SUITE["fem_17k"]()),
         "dense_rows_2k_f64": ("dense",
                               lambda: generators.SUITE["dense_rows_2k"]()),
+        # round 5 (VERDICT r4 #4): an at-scale irregular point on the
+        # grouped dd lane and the new BSR emulated-f64 einsum lane
+        "scircuit_f64": ("grouped",
+                         lambda: generators.SUITE["scircuit_256k"]()),
+        "banded_16k_f64": ("bsr",
+                           lambda: generators.SUITE["banded_16k"]()),
     }
     try:
         jax.config.update("jax_enable_x64", True)
@@ -772,6 +783,30 @@ def main() -> None:
                     kfac64 = lambda k=K_ITERS: k_loop_dia(a_d64, k)
                     vary64 = lambda i: (
                         a_d64.data + jnp.float64(1e-9) * i,
+                    )
+                elif meth64 == "bsr":
+                    a_b64 = BSR.from_scipy(a_sp64, block_shape=(8, 128))
+                    b_b64 = BSR.from_scipy(a_sp64, block_shape=(128, 128))
+                    bplan64 = make_bsr_plan(a_b64, b_b64)
+                    c64 = jax.block_until_ready(
+                        bsr_spgemm(a_b64, b_b64, bplan64)
+                    )
+                    csp64 = c64.to_scipy().tocsr()
+                    csp64.eliminate_zeros()
+                    nnz_c64 = int(csp64.nnz)
+                    # structure-union compare: in-block explicit zeros are
+                    # eliminated, so diff against the golden via sparse
+                    # subtraction (handles any cancelled-entry asymmetry)
+                    diff = abs(csp64 - want).tocoo()
+                    scale = float(np.abs(want.data).max()) if want.nnz else 1.0
+                    assert diff.nnz == 0 or float(diff.data.max()) <= (
+                        1e-12 * max(scale, 1.0)
+                    ), float(diff.data.max())
+                    kfac64 = lambda k=K_ITERS: k_loop_bsr(
+                        a_b64, b_b64, bplan64, k
+                    )
+                    vary64 = lambda i: (
+                        a_b64.blocks + jnp.float64(1e-9) * i,
                     )
                 elif meth64 == "dense":
                     # f64 MXU: XLA's emulated-f64 matmul measured 1.89
@@ -1017,6 +1052,65 @@ def main() -> None:
             )
             if dres_t.per_s < best_rap_s:
                 best_rap_s, best_rap_m = dres_t.per_s, "triple"
+        # aggregation-structured fast path (round 5, VERDICT r4 #7): P is
+        # a piecewise-constant aggregation, so RAP is a relabel-and-merge
+        # of A's entries — plan-constant keys/scales, zero gathers, one
+        # small sort (ops/aggrap docstring)
+        from benchmark_spgemm_using_csr_tpu.ops.aggrap import (
+            make_aggrap_plan, rap_aggregation,
+        )
+
+        agsched = make_aggrap_plan(r_r, a_r, p_r)
+        if agsched is not None:
+            got_g = rap_aggregation(a_r, agsched).to_scipy().tocsr()
+            got_g.sort_indices()
+            got_g.eliminate_zeros()
+            assert got_g.nnz == want_rap.nnz, (got_g.nnz, want_rap.nnz)
+            np.testing.assert_allclose(
+                got_g.data, want_rap.data, rtol=1e-3, atol=1e-4
+            )
+
+            def k_loop_agg(k=K_ITERS):
+                @jax.jit
+                def run(a_c):
+                    def body(a_i, _):
+                        c_i = rap_aggregation(a_i, agsched)
+                        eps = runtime_zero_probe(c_i.vals).astype(
+                            a_c.vals.dtype
+                        )
+                        a_next = CSR(
+                            a_i.rowptr, a_i.colidx, a_i.vals + eps,
+                            a_i.shape
+                        )
+                        # C structure is a plan constant — the probe must
+                        # be data-dependent (vals[0]), as with triple
+                        return a_next, c_i.vals[0]
+                    _, outs = jax.lax.scan(body, a_c, None, length=k)
+                    return outs
+
+                return run
+
+            dres_g = bench_delta_stats(
+                k_loop_agg,
+                lambda i: (CSR(a_r.rowptr, a_r.colidx,
+                               a_r.vals + jnp.asarray(
+                                   1e-6 * i, a_r.vals.dtype),
+                               a_r.shape),),
+                k1=K_ITERS, name="rap_aggrap", flops=flops_rap,
+                runs=_runs_now(),
+            )
+            write_result(
+                "results.jsonl",
+                {"matrix": "rap_poisson2d_256",
+                 "config": "RAP aggregation relabel-merge 1chip K-scan",
+                 "gflops": flops_rap / dres_g.per_s / 1e9,
+                 "device_s": dres_g.per_s, "flops": flops_rap,
+                 "nnz_c": int(want_rap.nnz), "method": "aggrap",
+                 "k2_delta": dres_g.k2,
+                 "spread": round(dres_g.spread, 4)},
+            )
+            if dres_g.per_s < best_rap_s:
+                best_rap_s, best_rap_m = dres_g.per_s, "aggrap"
         rap_detail["rap_poisson2d_256"] = round(
             flops_rap / best_rap_s / 1e9, 4
         )

@@ -96,12 +96,18 @@ def bsr_spgemm(a: BSR, b: BSR, plan: BsrPlan) -> BSR:
     a_blk = a.blocks[src]  # (P, bm, bk) — contiguous block-sized gathers
     b_blk = b.blocks[b_idx]  # (P, bk, bn)
     # HIGHEST: 3-pass bf16 on the MXU ≈ f32 accuracy (default bf16 rounding
-    # of inputs fails the scipy-golden tolerance)
+    # of inputs fails the scipy-golden tolerance). f64 lane (round 5,
+    # VERDICT r4 #4): XLA's double-double-emulated f64 einsum, measured
+    # 1.89 TF/s on this chip in the dense path (scripts/ab_f64.py) — the
+    # accumulator and output blocks stay f64 end-to-end.
+    acc_dt = (
+        jnp.float64 if a.blocks.dtype == jnp.float64 else F32
+    )
     prod = jnp.einsum(
         "pij,pjk->pik",
         a_blk,
         b_blk,
-        preferred_element_type=F32,
+        preferred_element_type=acc_dt,
         precision=jax.lax.Precision.HIGHEST,
     )  # (P, bm, bn)
     prod = jnp.where(pair_valid[:, None, None], prod, 0.0)
@@ -117,7 +123,7 @@ def bsr_spgemm(a: BSR, b: BSR, plan: BsrPlan) -> BSR:
     # back to pair order
     slot = jnp.zeros(P, INDEX_DTYPE).at[pid_s].set(slot_s)
 
-    out_blocks = jnp.zeros((plan.out_blocks_cap, bm, bn), F32)
+    out_blocks = jnp.zeros((plan.out_blocks_cap, bm, bn), acc_dt)
     out_blocks = out_blocks.at[slot].add(prod, mode="drop")
 
     # output structure: heads carry (brow, bcol) at slot uniq_s

@@ -160,3 +160,46 @@ print("F64 DIA+DENSE OK")
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "F64 DIA+DENSE OK" in out.stdout
+
+
+@pytest.mark.slow
+def test_f64_bsr_subprocess():
+    """f64 BSR lane (round 5, VERDICT r4 #4): the emulated-f64 block
+    einsum + f64 scatter-add accumulate end-to-end under x64 mode; x64
+    scipy oracle at rtol 1e-12."""
+    code = r"""
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import numpy as np
+from benchmark_spgemm_using_csr_tpu.sparse.csr import BSR
+from benchmark_spgemm_using_csr_tpu.ops.bsr import bsr_spgemm, make_bsr_plan
+from benchmark_spgemm_using_csr_tpu.utils import generators
+
+a_sp = generators.banded(1024, bandwidth=6, seed=4).astype(np.float64)
+a_b = BSR.from_scipy(a_sp, block_shape=(8, 128))
+b_b = BSR.from_scipy(a_sp, block_shape=(128, 128))
+assert str(a_b.blocks.dtype) == "float64", a_b.blocks.dtype
+plan = make_bsr_plan(a_b, b_b)
+c = bsr_spgemm(a_b, b_b, plan)
+assert str(c.blocks.dtype) == "float64", c.blocks.dtype
+got = c.to_scipy().tocsr()
+got.eliminate_zeros(); got.sort_indices()
+want = (a_sp @ a_sp).tocsr()
+want.eliminate_zeros(); want.sort_indices()
+diff = abs(got - want).tocoo()
+scale = float(np.abs(want.data).max())
+assert diff.nnz == 0 or float(diff.data.max()) <= 1e-12 * max(scale, 1.0)
+print("F64 BSR OK")
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=560,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "F64 BSR OK" in out.stdout
