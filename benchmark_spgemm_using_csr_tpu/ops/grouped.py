@@ -62,6 +62,10 @@ F32 = jnp.float32
 U32 = jnp.uint32
 SENTINEL_U32 = np.uint32(0xFFFFFFFF)
 
+# sort-operand pin hook for scripts/ab_sortpin.py (trace-time; None in
+# production). Values: "cond" | "bitcast".
+_SORT_PIN = [None]
+
 
 @dataclasses.dataclass(frozen=True)
 class GroupedPlan:
@@ -592,7 +596,30 @@ def _spgemm_grouped(
     # pass-through lax.scan changed nothing (scircuit 0.3835 vs 0.3837
     # GF), and an optimization_barrier pin HANGS the axon remote compile
     # (CLAUDE.md hazard). The excess is intrinsic / stage-attribution
-    # overlap — no lever here.
+    # overlap — no lever here. Round-5 escape-hatch A/Bs
+    # (scripts/ab_sortpin.py, _SORT_PIN hook below): lax.cond identity
+    # and bitcast round-trip pins — barrier variants excluded by the
+    # compile-hang hazard.
+    pin = _SORT_PIN[0]
+    if pin is not None:
+        valm2 = valm.reshape(plan.g_cap, W) if not dd else None
+        if pin == "bitcast":
+            key2 = jax.lax.bitcast_convert_type(
+                jax.lax.bitcast_convert_type(key2, jnp.int32), jnp.uint32
+            )
+            if valm2 is not None:
+                valm2 = jax.lax.bitcast_convert_type(
+                    jax.lax.bitcast_convert_type(valm2, jnp.int32), F32
+                )
+        elif pin == "cond" and valm2 is not None:
+            key2, valm2 = jax.lax.cond(
+                key2[0, 0] != key2[0, 0] + jnp.uint32(1),
+                lambda k, v: (k, v),
+                lambda k, v: (k + jnp.uint32(1), v),
+                key2, valm2,
+            )
+        if valm2 is not None:
+            valm = valm2.reshape(-1)
 
     # ---- ONE 2D sort: every group independently, log2(W)^2/2 depth ------
     if dd:

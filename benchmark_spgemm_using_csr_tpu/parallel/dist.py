@@ -474,12 +474,19 @@ class RingStatics:
 
     k: int  # chunk width (products per metadata slot)
     chunks_cap: int  # per-device full chunk-stream capacity
-    cap_step: int  # max chunks any (device, block) pair holds
+    cap_step: int  # max chunks any (device, super-block) pair holds
     out_cap: int
     m_loc: int
     k_loc: int
     n_shards: int
     max_run: int = 0
+    # hop width H (round 5, VERDICT r4 #5): each device keeps H
+    # consecutive B blocks resident and the ring runs P/H hops of an
+    # H-block super-buffer — same total comm volume (H-1 subgroup-rotate
+    # prologue sends + P/H - 1 super-hops move P-1 block-equivalents),
+    # 1/H of the per-step schedule overhead (the measured 3.42x eater on
+    # the one-core CPU mesh), at H x resident-B memory.
+    hop: int = 1
 
 
 @dataclasses.dataclass
@@ -501,13 +508,16 @@ class RingPlan:
 
 
 def make_ring_plan(
-    a: CSR, b: CSR, n_shards: int, bounds: np.ndarray | None = None
+    a: CSR, b: CSR, n_shards: int, bounds: np.ndarray | None = None,
+    hop: int = 1,
 ) -> RingPlan:
     """Group each shard's A entries by the B shard owning their column and
     quantize the per-entry product segments into k-wide chunks (host, one
     structure pass — the ring analogue of make_chunked_plan).
 
-    bounds: product-balanced A-row boundaries (balanced_row_bounds)."""
+    bounds: product-balanced A-row boundaries (balanced_row_bounds).
+    hop: blocks per resident super-buffer (RingStatics.hop); must divide
+    n_shards."""
     a_sh = shard_rows(a, n_shards, bounds=bounds)
     m_loc, cap_e = a_sh.m_loc, a_sh.cap
     k_pad = ((b.m + n_shards - 1) // n_shards) * n_shards
@@ -549,8 +559,12 @@ def make_ring_plan(
         row_prod = pcum[rp[d, 1:]] - pcum[rp[d, :-1]]
         out_bounds.append(int(np.minimum(row_prod, b.n).sum()) or 1)
 
+    if n_shards % hop:
+        raise ValueError(f"hop {hop} must divide n_shards {n_shards}")
     chunks_cap = pad_gentle(int(chunkptr[:, -1].max(initial=1)))
-    cap_step = pad_gentle(int(np.diff(chunkptr, axis=1).max(initial=1)))
+    # super-window spans: chunks between H-aligned owner boundaries
+    super_bounds = chunkptr[:, ::hop]
+    cap_step = pad_gentle(int(np.diff(super_bounds, axis=1).max(initial=1)))
     statics = RingStatics(
         k=k,
         chunks_cap=chunks_cap,
@@ -560,6 +574,7 @@ def make_ring_plan(
         k_loc=k_loc,
         n_shards=n_shards,
         max_run=base.max_run,
+        hop=hop,
     )
     return RingPlan(
         statics=statics,
@@ -582,7 +597,9 @@ def _ring_exec(mesh, axis, n, st: RingStatics, val_dtype):
     block, so XLA's async collectives overlap it with the expansion
     (double-buffering; measured via scripts/bench_scaling.py)."""
     P_, k, cap_step = st.n_shards, st.k, st.cap_step
-    perm = [(i, (i + 1) % P_) for i in range(P_)]
+    H = st.hop
+    G = P_ // H
+    perm = [(i, (i + H) % P_) for i in range(P_)]
 
     def local_fn(a_col, a_val, a_row, chunkptr, b_ci, b_va, rp_glob):
         my = jax.lax.axis_index(axis)
@@ -599,21 +616,32 @@ def _ring_exec(mesh, axis, n, st: RingStatics, val_dtype):
         ends = jnp.cumsum(n_chunks)
         starts = ends - n_chunks
         total = ends[-1] if cap_e else jnp.zeros((), INDEX_DTYPE)
+        # BLOCK-LOCAL position basis + owner block per entry (round 5):
+        # the step body indexes the resident super-buffer, so positions
+        # are pre-rebased to the owning block and the owner id rides the
+        # same propagation machinery (one more 1D scatter+cumsum pair —
+        # CLAUDE.md: separate propagations beat packed operands)
+        owner0 = jnp.clip(
+            a_col0.astype(INDEX_DTYPE) // st.k_loc, 0, P_ - 1
+        )
+        bbase0 = rp_glob[owner0 * st.k_loc].astype(INDEX_DTYPE)
         gpos0 = rp_glob[a_col0].astype(INDEX_DTYPE)  # global B pos of entry
-        q_posb = gpos0 - k * starts
+        q_posb = (gpos0 - bbase0) - k * starts
         q_remb = bl + k * starts
         q_row = a_row0.astype(INDEX_DTYPE)
+        q_owner = owner0
         if val_dtype in (jnp.float32, jnp.bfloat16, jnp.float16):
             q_aval = jax.lax.bitcast_convert_type(
                 a_val[0].astype(jnp.float32), jnp.int32
             )
-            posb, remb, rowc, avalb = _propagate_entry_consts(
-                starts, (q_posb, q_remb, q_row, q_aval), st.chunks_cap
+            posb, remb, rowc, own_c, avalb = _propagate_entry_consts(
+                starts, (q_posb, q_remb, q_row, q_owner, q_aval),
+                st.chunks_cap,
             )
             aval_c = jax.lax.bitcast_convert_type(avalb, jnp.float32)
         else:
-            posb, remb, rowc = _propagate_entry_consts(
-                starts, (q_posb, q_remb, q_row), st.chunks_cap
+            posb, remb, rowc, own_c = _propagate_entry_consts(
+                starts, (q_posb, q_remb, q_row, q_owner), st.chunks_cap
             )
             hits = jnp.zeros(st.chunks_cap, INDEX_DTYPE).at[starts].add(
                 1, mode="drop"
@@ -621,7 +649,7 @@ def _ring_exec(mesh, axis, n, st: RingStatics, val_dtype):
             src = jnp.clip(jnp.cumsum(hits) - 1, 0, cap_e - 1)
             aval_c = a_val[0][src]
         c_ids = jnp.arange(st.chunks_cap, dtype=INDEX_DTYPE)
-        pos_c = posb + k * c_ids  # global B position per chunk
+        pos_c = posb + k * c_ids  # block-local B position per chunk
         rem_c = remb - k * c_ids
         cvalid = c_ids < total
         rowc = jnp.where(cvalid, rowc, st.m_loc)
@@ -648,7 +676,29 @@ def _ring_exec(mesh, axis, n, st: RingStatics, val_dtype):
         cap_b = b_ci[0].shape[0]
         lane = jnp.arange(k, dtype=INDEX_DTYPE)
 
-        S = P_ * cap_step * k
+        # ---- resident super-buffer: H consecutive blocks of my subgroup
+        # (aligned to H boundaries), assembled by H-1 subgroup-cyclic
+        # rotations. parts[t] on device d holds block base + (d%H + t)%H,
+        # i.e. block base+u sits at slot (u - d%H) % H — the step body
+        # folds that rotation into its index.
+        parts = [bpk]
+        for t in range(1, H):
+            perm_sub = [
+                (i, (i // H) * H + (i % H - 1) % H) for i in range(P_)
+            ]
+            parts.append(jax.lax.ppermute(parts[-1], axis, perm=perm_sub))
+        if H == 1:
+            resident = bpk
+        elif unpack:
+            resident = jnp.concatenate(parts, axis=0)  # (H*cap_b, 2)
+        else:
+            resident = tuple(
+                jnp.concatenate([p[j] for p in parts], axis=0)
+                for j in range(len(bpk))
+            )
+        my_rot = my % H
+
+        S = G * cap_step * k
         out_row = jax.lax.pcast(
             jnp.full(S, st.m_loc, INDEX_DTYPE), (axis,), to="varying"
         )
@@ -660,22 +710,24 @@ def _ring_exec(mesh, axis, n, st: RingStatics, val_dtype):
 
         def step(s, carry):
             cur, out_row, out_col, out_val = carry
-            # (1) prefetch: rotate the held block now; XLA overlaps the
-            # collective with (2) since both read only `cur`
+            # (1) prefetch: rotate the held super-buffer now; XLA overlaps
+            # the collective with (2) since both read only `cur`
             nxt = jax.lax.ppermute(cur, axis, perm=perm)
-            blk = (my - s) % P_
-            off_chunk = cptr[blk]
-            n_here = cptr[blk + 1] - off_chunk
+            sg = (my // H - s) % G  # super-block processed this hop
+            off_chunk = cptr[sg * H]
+            n_here = cptr[sg * H + H] - off_chunk
             idx = off_chunk + jnp.arange(cap_step, dtype=INDEX_DTYPE)
             live = jnp.arange(cap_step, dtype=INDEX_DTYPE) < n_here
             idxc = jnp.clip(idx, 0, st.chunks_cap - 1)
-            # (2) expand this block's chunk slice against the held block
-            pos_s = pos_c[idxc] - rp_glob[blk * st.k_loc].astype(INDEX_DTYPE)
+            # (2) expand this super-window's chunk slice against the
+            # resident buffer: block base+u sits at slot (u - my%H) % H
+            slot = (own_c[idxc] - sg * H - my_rot) % H if H > 1 else 0
+            pos_s = pos_c[idxc] + slot * cap_b
             rem_s = rem_c[idxc]
             row_s = jnp.where(live, rowc[idxc], st.m_loc)
             aval_s = aval_c[idxc]
             gidx = jnp.clip(
-                pos_s[None, :] + lane[:, None], 0, cap_b - 1
+                pos_s[None, :] + lane[:, None], 0, H * cap_b - 1
             )  # (k, cap_step)
             lane_valid = live[None, :] & (lane[:, None] < rem_s[None, :])
             if unpack:
@@ -701,7 +753,7 @@ def _ring_exec(mesh, axis, n, st: RingStatics, val_dtype):
             return nxt, out_row, out_col, out_val
 
         _, row_t, col_t, val_t = jax.lax.fori_loop(
-            0, P_, step, (bpk, out_row, out_col, out_val)
+            0, G, step, (resident, out_row, out_col, out_val)
         )
         c_loc = merge_products(
             row_t, col_t, val_t, st.m_loc, n, st.out_cap,
@@ -854,13 +906,18 @@ def shard_rows_cached(a: CSR, n_shards: int) -> ShardedCSR:
 
 
 def dist_spgemm(
-    a: CSR, b: CSR, mesh: Mesh, *, schedule: str = "replicated", axis: str = "rows"
+    a: CSR, b: CSR, mesh: Mesh, *, schedule: str = "replicated",
+    axis: str = "rows", ring_hop: int | None = None,
 ) -> CSR:
     """Host-facing distributed C = A @ B: shard, run, unshard.
 
     schedule: 'replicated' (B on every device), 'ring' (B row-sharded,
     ppermute rotation) or 'halo' (B row-sharded, ragged all-to-all).
-    Sharded forms and local plans are cached per (matrix, P)."""
+    Sharded forms and local plans are cached per (matrix, P).
+
+    ring_hop: blocks per resident ring super-buffer (None = P//4 when it
+    divides P, else 1 — the round-5 coarsened schedule; H x B-shard
+    memory for 1/H of the per-hop schedule overhead)."""
     n_shards = mesh.shape[axis]
     if schedule == "halo":
         from .halo import spgemm_halo
@@ -902,8 +959,15 @@ def dist_spgemm(
         else:
             c_sh = dist_spgemm_replicated(a_sh, b, mesh, axis=axis, plan=plan)
     elif schedule == "ring":
+        if ring_hop is None:
+            ring_hop = (
+                n_shards // 4 if n_shards % 4 == 0 and n_shards >= 8 else 1
+            )
+        pkey = pkey + (ring_hop,)
+        hit = _PLAN_CACHE.get(pkey)
+        plan = hit[0] if hit is not None else None
         if plan is None:
-            plan = _remember(make_ring_plan(a, b, n_shards))
+            plan = _remember(make_ring_plan(a, b, n_shards, hop=ring_hop))
         b_sh = shard_rows_cached(b, n_shards)
         c_sh = dist_spgemm_ring(
             a_sh, b_sh, b.rowptr, mesh, axis=axis, ring_plan=plan

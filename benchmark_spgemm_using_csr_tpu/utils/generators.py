@@ -287,6 +287,75 @@ def hub_rows(
     return mat
 
 
+def road_net(
+    k: int, drop: float = 0.3, shortcut: float = 0.01,
+    dtype=np.float32, seed: int = 0,
+) -> sp.csr_matrix:
+    """roadNet-CA-like (SURVEY.md §8 suite family): a near-planar network
+    with VERY short rows (~3-4 nnz: degree-2/3/4 junctions), symmetric,
+    huge diameter, no hubs. Built as a k x k grid graph with ``drop`` of
+    the edges removed, ~``shortcut``*n random long links (highways), node
+    ids PERMUTED (road matrices are not band-ordered), plus the diagonal.
+    The ultra-short-row regime stresses per-row metadata cost — the
+    opposite end of the bin spectrum from mouse_gene (VERDICT r4 missing
+    #2)."""
+    rng = np.random.default_rng(seed)
+    n = k * k
+    idx = np.arange(n, dtype=np.int64)
+    x, y = idx // k, idx % k
+    e1r = idx[y < k - 1]  # east
+    e2r = idx[x < k - 1]  # south
+    er = np.concatenate([e1r, e2r])
+    ec = np.concatenate([e1r + 1, e2r + k])
+    keep = rng.random(er.size) >= drop
+    er, ec = er[keep], ec[keep]
+    ns = int(n * shortcut)
+    sr = rng.integers(0, n, size=ns, dtype=np.int64)
+    sc = rng.integers(0, n, size=ns, dtype=np.int64)
+    r = np.concatenate([er, sr])
+    c = np.concatenate([ec, sc])
+    perm = rng.permutation(n)
+    r, c = perm[r], perm[c]
+    rows = np.concatenate([r, c, idx])
+    cols = np.concatenate([c, r, idx])
+    vals = rng.standard_normal(rows.size).astype(dtype)
+    mat = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+    mat.sum_duplicates()
+    mat.sort_indices()
+    return mat
+
+
+def small_world(
+    n: int, k: int = 4, rewire: float = 0.1,
+    dtype=np.float32, seed: int = 0,
+) -> sp.csr_matrix:
+    """amazon0312-like small-world graph (~2k+1 nnz/row): ring lattice
+    with k neighbors per side, ``rewire`` of the edge endpoints replaced
+    by uniform random targets (Watts-Strogatz), symmetrized + diagonal.
+    The intact lattice part is LOCAL (few offsets) but the rewired links
+    scatter over ~n distinct offsets, so the DIA term cap rejects it and
+    the short-row sort path carries it — the co-purchase-network regime
+    of the published suite (VERDICT r4 missing #2)."""
+    rng = np.random.default_rng(seed)
+    idx = np.arange(n, dtype=np.int64)
+    rows_l, cols_l = [], []
+    for off in range(1, k + 1):
+        tgt = (idx + off) % n
+        rew = rng.random(n) < rewire
+        tgt = np.where(rew, rng.integers(0, n, size=n, dtype=np.int64), tgt)
+        rows_l.append(idx)
+        cols_l.append(tgt)
+    r = np.concatenate(rows_l)
+    c = np.concatenate(cols_l)
+    rows = np.concatenate([r, c, idx])
+    cols = np.concatenate([c, r, idx])
+    vals = rng.standard_normal(rows.size).astype(dtype)
+    mat = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+    mat.sum_duplicates()
+    mat.sort_indices()
+    return mat
+
+
 def rect_pair(
     m: int, k: int, n: int, nnz_per_row_a: float = 10.0,
     nnz_per_row_b: float = 12.0, dtype=np.float32, seed: int = 0,
@@ -375,6 +444,15 @@ SUITE = {
     "pattern_circuit_64k": lambda: pattern_mtx_roundtrip(65536, seed=9),
     "hubrows_32k": lambda: hub_rows(32768, 32768, seed=12),
     "fem_46k": lambda: fem(25, dof=3, fill=0.7, seed=6),   # 46875 rows
+    # round-5 suite breadth (VERDICT r4 missing #2): the three regimes
+    # still absent from the ~23-matrix published suite's coverage —
+    # road-network ultra-short rows, small-world co-purchase graphs, and
+    # a second mid-FEM density at consph's published scale (83k rows,
+    # ~65 nnz/row; regular mesh, so it rides the FEM->DIA reroute like
+    # its cant/pdb siblings)
+    "road_1m": lambda: road_net(1000, seed=13),            # 1M rows
+    "smallworld_400k": lambda: small_world(400_000, k=4, seed=14),
+    "consph_83k": lambda: fem(30, dof=3, fill=0.8, seed=15),  # 81000 rows
 }
 
 # rectangular A @ B pairs (two operands — benched via the pair-aware loop)
