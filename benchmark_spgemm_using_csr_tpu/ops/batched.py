@@ -233,11 +233,12 @@ def make_batched_plan(
 
     if method == "dense":
         # per-block extraction mode: 'full' (C block structurally dense —
-        # identity), 'scan' (near-dense: ONE-pass block-scan compaction on
-        # plan-constant keys — round 5, replacing the log2(holes)-pass
-        # monotone shift the rounds-3/4 OOC tail paid), 'gather' (sparse
-        # C: nnz_c flat-position gathers — descriptor-bound but cheaper
-        # than a full-slot pass at low fill)
+        # identity), 'shift' (near-dense: host kept/disp + monotone shift
+        # compaction — the round-5 scan-tail port was MEASURED SLOWER
+        # here: at near-full C the one-pass scan's ~0.63 ns/slot dus
+        # machinery loses to ~log2(holes) cheap shift passes,
+        # dense_rows_8k_ooc 16.75 -> 14.5 GF, reverted), 'gather'
+        # (sparse C: nnz_c flat-position gathers)
         cap_c_u = pad_bucket(max(max(nnz_c_blk), 1))
         extract = []
         for (lo, hi), pc in zip(blocks, pats):
@@ -252,9 +253,14 @@ def make_batched_plan(
             if holes == 0:
                 extract.append(("full", None))
             elif holes < slots // 8:
-                keys = np.full(slots, np.uint32(0xFFFFFFFF), np.uint32)
-                keys[flat] = flat.astype(np.uint32)
-                extract.append(("scan", jnp.asarray(keys)))
+                kept = np.zeros(slots, np.bool_)
+                kept[flat] = True
+                disp = (np.cumsum(~kept) - ~kept).astype(np.int32)
+                extract.append((
+                    "shift",
+                    (jnp.asarray(kept), jnp.asarray(disp),
+                     max(int(holes).bit_length(), 1)),
+                ))
             else:
                 f = np.full(cap_c_u, slots, np.int64)  # pad -> guard
                 f[: pc.nnz] = flat
@@ -382,12 +388,12 @@ def _dense_b(b: CSR):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "rows_cap", "nnz_cap", "kdim", "mode", "out_cap", "sizes", "cap"
+        "rows_cap", "nnz_cap", "kdim", "mode", "disp_bits", "sizes", "cap"
     ),
 )
 def _dense_blocks_fused(
     a_vals, b, slice0, rows_e, cols_e, p1, p2, *,
-    rows_cap, nnz_cap, kdim, mode, out_cap, sizes, cap,
+    rows_cap, nnz_cap, kdim, mode, disp_bits, sizes, cap,
 ):
     """ALL dense blocks + B densify + assembly in ONE dispatch (round 4):
     the per-block multi-dispatch form paid the ~26 ms axon round trip 4+
@@ -399,8 +405,8 @@ def _dense_blocks_fused(
     xs are stacked (nb, ...) block arrays; sizes are the static per-block
     exact nnz_c for the in-jit assembly concatenation.
     """
+    from .chunked import _shift_compact
     from .dense import csr_to_dense
-    from .scancompact import runsum_compact_scan
 
     db = csr_to_dense(b)
     vals_pad = jnp.concatenate(
@@ -418,10 +424,8 @@ def _dense_blocks_fused(
         flat = cd.reshape(-1)
         if mode == "full":
             out = flat
-        elif mode == "scan":
-            _, out, _ = runsum_compact_scan(
-                p1_i, flat, w=flat.shape[0], out_cap=out_cap, max_run=1
-            )
+        elif mode == "shift":
+            (out,) = _shift_compact(p1_i, p2_i, [flat], disp_bits)
         else:  # gather
             guard = jnp.concatenate([flat, jnp.zeros(1, flat.dtype)])
             out = guard[jnp.clip(p1_i, 0, flat.shape[0])]
@@ -472,7 +476,8 @@ def spgemm_batched(
     if plan.method == "dense" and not as_scipy:
         modes = {mode for mode, _ in plan.flat_c}
         per_out = (
-            plan.rows_cap * n if modes == {"full"} else plan.cap_c_u
+            plan.rows_cap * n
+            if modes <= {"full", "shift"} else plan.cap_c_u
         )
         scan_bytes = len(plan.blocks) * per_out * itemsize
         if len(modes) == 1 and scan_bytes <= (1 << 30):
@@ -482,19 +487,25 @@ def spgemm_batched(
                 slice0 = jnp.asarray(np.asarray(plan.slice0, np.int32))
                 rows_e = jnp.stack(plan.blk_rows_e)
                 cols_e = jnp.stack(plan.blk_colidx)
-                if mode in ("scan", "gather"):
+                if mode == "shift":
+                    p1 = jnp.stack([p[1][0] for p in plan.flat_c])
+                    p2 = jnp.stack([p[1][1] for p in plan.flat_c])
+                    disp_bits = max(p[1][2] for p in plan.flat_c)
+                elif mode == "gather":
                     p1 = jnp.stack([p[1] for p in plan.flat_c])
                     p2 = jnp.zeros((nb, 1), jnp.int32)
+                    disp_bits = 0
                 else:
                     p1 = jnp.zeros((nb, 1), jnp.int32)
                     p2 = jnp.zeros((nb, 1), jnp.int32)
-                stk = (slice0, rows_e, cols_e, p1, p2)
+                    disp_bits = 0
+                stk = (slice0, rows_e, cols_e, p1, p2, disp_bits)
                 plan._fused_stk = stk
-            slice0, rows_e, cols_e, p1, p2 = stk
+            slice0, rows_e, cols_e, p1, p2, disp_bits = stk
             vals = _dense_blocks_fused(
                 a.vals, b, slice0, rows_e, cols_e, p1, p2,
                 rows_cap=plan.rows_cap, nnz_cap=plan.nnz_cap, kdim=a.n,
-                mode=mode, out_cap=plan.cap_c_u,
+                mode=mode, disp_bits=disp_bits,
                 sizes=plan.nnz_c_blk, cap=plan.cap_c,
             )
             return CSR(
@@ -566,29 +577,38 @@ def spgemm_batched(
 
 def _dense_block(
     vals_pad, s0, rows_e, cols_e, db, payload, *,
-    rows_cap, nnz_cap, kdim, mode, out_cap,
+    rows_cap, nnz_cap, kdim, mode, out_cap=0,
 ):
     """One dense-MXU block: densify the A row slice (scatter-SET; padding
     entries target the guard row), matmul against the resident dense B,
     extract C values at the static structural positions. Extraction mode
-    (static): 'full' identity / 'scan' one-pass key compaction
-    (near-dense) / 'gather' flat positions (sparse C)."""
+    (static): 'full' identity / 'shift' monotone compaction (near-dense;
+    measured faster than the one-pass scan there — see the plan builder) /
+    'gather' flat positions (sparse C)."""
+    del out_cap
+    if mode == "shift":
+        kept, disp, disp_bits = payload
+        return _dense_block_jit(
+            vals_pad, s0, rows_e, cols_e, db, kept, disp,
+            rows_cap=rows_cap, nnz_cap=nnz_cap, kdim=kdim,
+            mode=mode, disp_bits=disp_bits,
+        )
     return _dense_block_jit(
-        vals_pad, s0, rows_e, cols_e, db, payload,
+        vals_pad, s0, rows_e, cols_e, db, payload, None,
         rows_cap=rows_cap, nnz_cap=nnz_cap, kdim=kdim,
-        mode=mode, out_cap=out_cap,
+        mode=mode, disp_bits=0,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("rows_cap", "nnz_cap", "kdim", "mode", "out_cap"),
+    static_argnames=("rows_cap", "nnz_cap", "kdim", "mode", "disp_bits"),
 )
 def _dense_block_jit(
-    vals_pad, s0, rows_e, cols_e, db, p1, *,
-    rows_cap, nnz_cap, kdim, mode, out_cap,
+    vals_pad, s0, rows_e, cols_e, db, p1, p2, *,
+    rows_cap, nnz_cap, kdim, mode, disp_bits,
 ):
-    from .scancompact import runsum_compact_scan
+    from .chunked import _shift_compact
 
     v = jax.lax.dynamic_slice(vals_pad, (s0,), (nnz_cap,))
     da = jnp.zeros((rows_cap + 1, kdim), v.dtype)
@@ -599,10 +619,9 @@ def _dense_block_jit(
     flat = cd.reshape(-1)
     if mode == "full":  # block C structurally full: identity extraction
         return flat
-    if mode == "scan":
-        _, out, _ = runsum_compact_scan(
-            p1, flat, w=flat.shape[0], out_cap=out_cap, max_run=1
-        )
+    if mode == "shift":
+        kept, disp = p1, p2
+        (out,) = _shift_compact(kept, disp, [flat], disp_bits)
         return out
     guard = jnp.concatenate([flat, jnp.zeros(1, flat.dtype)])
     return guard[jnp.clip(p1, 0, flat.shape[0])]

@@ -163,6 +163,9 @@ def bin_sort_compress(
         # divisibility loop converges to a useful divisor.
         eff_width = max(width, 128)
         block_rows = max(min(r, (4 * 1024 * 1024) // (eff_width * 4 * 6)), 8)
+        # same scoped-VMEM cap as tile_sort_merge (Mosaic stacks per-stage
+        # bitonic relayout temporaries ~4x beyond the live-tile estimate)
+        block_rows = min(block_rows, (16 << 20) // (eff_width * 4 * 6 * 4))
         block_rows = 1 << (block_rows.bit_length() - 1)
         while r % block_rows:
             block_rows //= 2
@@ -281,12 +284,15 @@ def tile_sort_merge(
         # at the er_medium production shape, 2026-08-18)
         eff_width = max(width, 128)
         block_rows = max(min(r, (8 * 1024 * 1024) // (eff_width * 4 * 6)), 8)
-        if width > 128:
-            # cross-lane-tile bitonic rolls make Mosaic stack per-stage
-            # relayout temporaries: at W=256 a (1024, 256) block demanded
-            # 24.5 MB of scoped VMEM against the 16 MB limit (econ_206k
-            # plan, 2026-08-19). Cap the block so ~4x block bytes fits.
-            block_rows = min(block_rows, (16 << 20) // (width * 4 * 6 * 4))
+        # Scoped-VMEM cap, calibrated on the compile helper (Mosaic stacks
+        # per-stage temporaries far beyond the live-tile estimate, and the
+        # multiplier is width-dependent): at W=128 a 1 MB block demands
+        # 27.8 MB (OOM — road_1m A/B 2026-08-21; 512 KB compiles), at
+        # W=256 a 1 MB block demanded 24.5 MB (econ 2026-08-19; 512 KB is
+        # the production config), while at W=1024 the measured-best 1 MB
+        # block (er, 256 rows) fits. Cap block bytes accordingly.
+        cap_bytes = (1 << 20) if eff_width >= 1024 else (512 << 10)
+        block_rows = min(block_rows, cap_bytes // (eff_width * 4))
         block_rows = 1 << (block_rows.bit_length() - 1)
         while r % block_rows:
             block_rows //= 2

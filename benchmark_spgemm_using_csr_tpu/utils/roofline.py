@@ -347,7 +347,20 @@ def bsr_stage_models(
     over block pairs + segment-sum into C blocks. Minimum traffic: each
     distinct block read/written ONCE (the implementation materializes
     per-pair streams — headroom vs this bound is real fusion headroom).
-    Flops charged at 3x: f32 precision=HIGHEST runs ~3 MXU passes."""
+    Flops charged at 3x: f32 precision=HIGHEST runs ~3 MXU passes.
+
+    Descriptor pricing (round 5, scripts/ab_bsr_stages.py K-scan prefix
+    deltas on dense_rows_2k): the path is DESCRIPTOR-floor-bound, not
+    bandwidth-bound — the metadata prefix alone (a_brows[src],
+    b.rowptr[colidx[src]], b.colidx[b_idx] gathers + the entry scatter)
+    measured 1.56 ms of the 2.42 ms production total at 65k pairs. Per
+    pair the pipeline issues ~6 arbitrary-index streams: 3 metadata
+    gathers, the A/B block-payload gathers, and the C-block scatter-add;
+    pricing 2 of 6 (the old model) put the ceiling at 4x fiction
+    (sol 0.228). The prefix A/B also reproduced the CLAUDE.md probe
+    trap: consuming block outputs as scan outputs forces the 19 ms
+    materialized form — the 2.42 ms production fusion is the honest
+    denominator."""
     bm, bk = block_shape
     return {
         "block_matmul": StageModel(
@@ -355,7 +368,7 @@ def bsr_stage_models(
             bytes_moved=(nnzb_a * bm * bk + nnzb_b * bk * bn
                          + nnzb_c * bm * bn) * itemsize,
             flops=3.0 * 2.0 * pairs * bm * bk * bn,
-            descriptors=2.0 * pairs,  # pair-stream gathers of A/B block ids
+            descriptors=6.0 * pairs,
         ),
     }
 
@@ -383,10 +396,18 @@ def dense_stage_models(
         ),
         "extract": StageModel(
             "extract",
-            # one-pass scan compaction: read (const key + value) per slot,
-            # write the compacted entries (round 5; was log2(holes) shift
-            # passes)
-            bytes_moved=m * n * (4 + itemsize) + nnz_c * itemsize,
+            # mode-aware (ops/dense.make_dense_plan, round-5 measured A/B):
+            # near-full C runs log2(holes) shift passes (cheaper than the
+            # one-pass scan's dus machinery there); sparse C runs the
+            # one-pass scan on constant keys
+            bytes_moved=(
+                0.0 if m * n == nnz_c else (
+                    max(int(m * n - nnz_c).bit_length(), 1)
+                    * m * n * 2 * itemsize
+                    if (m * n - nnz_c) < (m * n) // 8
+                    else m * n * (4 + itemsize) + nnz_c * itemsize
+                )
+            ),
             flops=0.0,
         ),
     }
@@ -405,12 +426,11 @@ def batched_dense_stage_models(
         bytes_blocks += plan.rows_cap * kdim * itemsize  # A block write+read
         bytes_blocks += plan.rows_cap * n * itemsize  # C block write
         mode = plan.flat_c[i][0] if plan.flat_c else "gather"
-        if mode == "scan":
-            # one-pass key+value read + compacted write (round 5)
+        if mode == "shift":
+            disp_bits = plan.flat_c[i][1][2]
             bytes_blocks += (
-                plan.rows_cap * n * (4 + itemsize)
-                + plan.nnz_c_blk[i] * itemsize
-            )
+                disp_bits * plan.rows_cap * n * 2 * itemsize
+            )  # log(holes) shift passes
         elif mode == "gather":
             bytes_blocks += plan.nnz_c_blk[i] * 2 * itemsize
     desc = float(nnz_a)  # densify scatters

@@ -26,7 +26,8 @@ import numpy as np
 
 from benchmark_spgemm_using_csr_tpu import spgemm_flops
 from benchmark_spgemm_using_csr_tpu.ops import dispatch as D
-from benchmark_spgemm_using_csr_tpu.sparse.csr import CSR, DIA
+from benchmark_spgemm_using_csr_tpu.sparse.csr import CSR
+from benchmark_spgemm_using_csr_tpu.sparse.dia import DIA
 from benchmark_spgemm_using_csr_tpu.utils import generators
 from benchmark_spgemm_using_csr_tpu.utils.results import write_result
 from benchmark_spgemm_using_csr_tpu.utils.timing import (
@@ -146,9 +147,17 @@ def main():
                 measured += 1  # a recorded reason counts as the A/B slot
                 continue
             kfac, vary = built
-            d = bench_delta_stats(
-                kfac, vary, k1=K, name=f"{name}_{meth}", flops=flops
-            )
+            try:
+                d = bench_delta_stats(
+                    kfac, vary, k1=K, name=f"{name}_{meth}", flops=flops
+                )
+            except Exception as e:  # compile/HBM OOM is a valid verdict
+                reason = str(e)[:200]
+                print(f"  {meth}: INFEASIBLE at runtime — {reason}",
+                      flush=True)
+                row[f"{meth}_infeasible"] = reason
+                measured += 1
+                continue
             gf = flops / d.per_s / 1e9
             print(f"  {meth}: {d.per_s*1e3:.2f} ms = {gf:.3f} GF "
                   f"(spread {d.spread:.1%})", flush=True)

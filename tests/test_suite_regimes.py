@@ -16,6 +16,9 @@ CASES = {
     "dense_rows": lambda: generators.dense_rows(256, 256, nnz_per_row=32, seed=1),
     "fem": lambda: generators.fem(6, dof=3, fill=0.7, seed=3),
     "fem_irregular": lambda: generators.fem_irregular(6, dof=3, fill=0.7, seed=3),
+    # round-5 breadth (small sizes of the road / small-world regimes)
+    "road_net": lambda: generators.road_net(48, seed=13),
+    "small_world": lambda: generators.small_world(2048, k=4, seed=14),
 }
 
 
@@ -85,3 +88,24 @@ def test_pattern_mtx_roundtrip_and_hub_rows():
     lens = np.diff(h.indptr)
     assert (lens >= 400).sum() >= 4  # the hub band exists
     assert np.percentile(lens, 50) < 64  # body stays power-law-short
+
+
+def test_road_and_smallworld_regimes():
+    """Round-5 points hit their claimed regimes: road = ultra-short rows
+    (mean ~3-4 nnz), symmetric, NOT diagonal-regular (permuted); small
+    world = ~2k+1 nnz rows with rewired links scattering the offsets."""
+    rd = generators.road_net(64, seed=13).tocsr()
+    mean_deg = rd.nnz / rd.shape[0]
+    assert 2.0 < mean_deg < 5.0, mean_deg
+    assert ((rd != 0) != (rd.T != 0)).nnz == 0  # structurally symmetric
+    co = rd.tocoo()
+    n_offsets = np.unique(co.col - co.row).size
+    assert n_offsets > rd.shape[0] // 4  # permutation killed the bands
+
+    sw = generators.small_world(2048, k=4, rewire=0.1, seed=14).tocsr()
+    mean_deg = sw.nnz / sw.shape[0]
+    assert 7.0 < mean_deg < 10.5, mean_deg
+    assert ((sw != 0) != (sw.T != 0)).nnz == 0  # structurally symmetric
+    co = sw.tocoo()
+    n_offsets = np.unique((co.col - co.row) % sw.shape[0]).size
+    assert n_offsets > 100  # rewiring scatters offsets (DIA-infeasible)
