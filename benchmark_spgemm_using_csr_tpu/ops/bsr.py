@@ -87,9 +87,25 @@ def bsr_spgemm(a: BSR, b: BSR, plan: BsrPlan) -> BSR:
     src = jnp.clip(jnp.cumsum(hits) - 1, 0, a.colidx.shape[0] - 1)
     pid = jnp.arange(P, dtype=INDEX_DTYPE)
     pair_valid = pid < total
-    inner = pid - starts[src]
-    b_idx = jnp.clip(b.rowptr[a.colidx[src]] + inner, 0, b.colidx.shape[0] - 1)
-    brow = jnp.where(pair_valid, a_brows[src], mb).astype(INDEX_DTYPE)
+    # packed per-ENTRY metadata table -> ONE (P, 3) pair-stream gather
+    # (round 5): the separate starts[src] / b.rowptr[a.colidx[src]] /
+    # a_brows[src] chains issued 3-4 descriptor streams per pair; the
+    # K-scan prefix decomposition (scripts/ab_bsr_stages.py) showed the
+    # metadata prefix alone was 1.56 of the 2.42 ms dense_rows_2k total,
+    # i.e. the path is descriptor-floor-bound (CLAUDE.md: pack
+    # multi-field lookups into one table).
+    ent_tbl = jnp.stack(
+        [
+            a_brows.astype(INDEX_DTYPE),
+            b.rowptr[a.colidx].astype(INDEX_DTYPE),
+            starts,
+        ],
+        axis=1,
+    )  # (cap_e, 3) — entry-level gathers are nnzb_a-sized, not P-sized
+    meta = ent_tbl[src, :]
+    inner = pid - meta[:, 2]
+    b_idx = jnp.clip(meta[:, 1] + inner, 0, b.colidx.shape[0] - 1)
+    brow = jnp.where(pair_valid, meta[:, 0], mb).astype(INDEX_DTYPE)
     bcol = jnp.where(pair_valid, b.colidx[b_idx], 0).astype(INDEX_DTYPE)
 
     # --- 2. batched block matmul on the MXU --------------------------------

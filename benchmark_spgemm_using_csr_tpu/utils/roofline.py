@@ -358,16 +358,16 @@ def bsr_stage_models(
 
     Descriptor pricing (round 5, scripts/ab_bsr_stages.py K-scan prefix
     deltas on dense_rows_2k): the path is DESCRIPTOR-floor-bound, not
-    bandwidth-bound — the metadata prefix alone (a_brows[src],
-    b.rowptr[colidx[src]], b.colidx[b_idx] gathers + the entry scatter)
-    measured 1.56 ms of the 2.42 ms production total at 65k pairs. Per
-    pair the pipeline issues ~6 arbitrary-index streams: 3 metadata
-    gathers, the A/B block-payload gathers, and the C-block scatter-add;
-    pricing 2 of 6 (the old model) put the ceiling at 4x fiction
-    (sol 0.228). The prefix A/B also reproduced the CLAUDE.md probe
-    trap: consuming block outputs as scan outputs forces the 19 ms
-    materialized form — the 2.42 ms production fusion is the honest
-    denominator."""
+    bandwidth-bound — the metadata prefix alone measured 1.56 ms of the
+    2.42 ms total at 65k pairs when metadata rode 3-4 separate per-pair
+    gather chains. Packing them into ONE (P, 3) entry-table gather
+    (ops/bsr.py ent_tbl) halved the point to 1.19 ms = 30.9 GF
+    (2026-08-21), landing at ~4.4 streams/pair; the model prices the 4
+    structural ones (packed meta, b.colidx, and the two block-payload
+    gathers; the C-block scatter-add rides the same budget). The prefix
+    A/B also reproduced the CLAUDE.md probe trap: consuming block
+    outputs as scan outputs forces the 19 ms materialized form — the
+    fused production form is the honest denominator."""
     bm, bk = block_shape
     return {
         "block_matmul": StageModel(
@@ -375,7 +375,7 @@ def bsr_stage_models(
             bytes_moved=(nnzb_a * bm * bk + nnzb_b * bk * bn
                          + nnzb_c * bm * bn) * itemsize,
             flops=3.0 * 2.0 * pairs * bm * bk * bn,
-            descriptors=6.0 * pairs,
+            descriptors=4.0 * pairs,
         ),
     }
 

@@ -103,11 +103,14 @@ def test_dist_balanced_partition_all_schedules(eight_devices):
     assert_csr_equal(c, want, rtol=1e-4, atol=1e-5)
 
     b_sh = D.shard_rows(a, 8)
-    rplan = D.make_ring_plan(a, a, 8, bounds=bounds)
-    c = unshard(D.dist_spgemm_ring(
-        a_sh, b_sh, a.rowptr, mesh, axis="rows", ring_plan=rplan
-    ))
-    assert_csr_equal(c, want, rtol=1e-4, atol=1e-5)
+    # every hop width: 1 (fine ring), 2 (the dist_spgemm default at
+    # P=8), 4, and 8 (degenerate single super-hop) — round-5 coarsening
+    for hop in (1, 2, 4, 8):
+        rplan = D.make_ring_plan(a, a, 8, bounds=bounds, hop=hop)
+        c = unshard(D.dist_spgemm_ring(
+            a_sh, b_sh, a.rowptr, mesh, axis="rows", ring_plan=rplan
+        ))
+        assert_csr_equal(c, want, rtol=1e-4, atol=1e-5)
 
     hplan = build_halo_plan(a, a, 8, bounds=bounds)
     c = unshard(dist_spgemm_halo(hplan, b_sh, mesh))
