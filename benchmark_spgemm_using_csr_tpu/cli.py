@@ -82,6 +82,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="distributed schedule (with --mesh)",
     )
     p.add_argument(
+        "--ring-hop",
+        type=int,
+        default=None,
+        metavar="H",
+        help="ring schedule: B blocks per resident super-buffer (must "
+        "divide the mesh size; default P//4 at P>=8 — H x resident-B "
+        "memory for 1/H of the per-hop schedule overhead)",
+    )
+    p.add_argument(
         "--multihost",
         action="store_true",
         help="initialize the multi-host runtime (jax.distributed) before "
@@ -184,7 +193,9 @@ def main(argv=None) -> int:
         if len(devs) < args.mesh:
             raise SystemExit(f"need {args.mesh} devices, have {len(devs)}")
         mesh = Mesh(np.array(devs[: args.mesh]), ("rows",))
-        run = lambda: dist_spgemm(a, a, mesh, schedule=args.schedule)
+        run = lambda: dist_spgemm(
+            a, a, mesh, schedule=args.schedule, ring_hop=args.ring_hop
+        )
     else:
         run = lambda: spgemm(a, a, method=args.method, trim=False)
 
