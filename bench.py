@@ -742,6 +742,11 @@ def main() -> None:
         "poisson2d_256_f64": ("dia",
                               lambda: generators.SUITE["poisson2d_256"]()),
         "fem_17k_f64": ("dia", lambda: generators.SUITE["fem_17k"]()),
+        # dense (not bsr): the f64-emulated block einsum loses the
+        # streaming fusion and materializes the (P,128,128) f64 b-block
+        # gather — a 34 GB allocation at dense_rows_2k's 65k pairs
+        # (compile-time HBM OOM, measured 2026-08-21); BSR-f64 only fits
+        # small-pairs regimes like banded_16k_f64
         "dense_rows_2k_f64": ("dense",
                               lambda: generators.SUITE["dense_rows_2k"]()),
         # round 5 (VERDICT r4 #4): an at-scale irregular point on the
